@@ -1,0 +1,2 @@
+"""TPU compute kernels: edit-distance table generation, frame diffing,
+quantization/dithering, audio resampling."""

@@ -1,0 +1,329 @@
+"""Perceptual edit-distance table generation on TPU.
+
+This replaces the reference's ~90-minute offline step (reference transcoder/
+make_data_tables.py:111-204: 134M-268M Cython Damerau-Levenshtein DPs on CPU)
+with seconds of MXU work.
+
+The mathematical reduction
+--------------------------
+The reference computes, for every pair (i, j) of masked screen-byte windows,
+the weighted Damerau-Levenshtein distance between their nominal-colour pixel
+strings, with substitution costs = CIE2000 distances (<= ~120), transposition
+cost = 1, and insertion/deletion cost = 100000 (reference make_data_tables.py:
+30-52).  Both strings always have the same length L, and the result is
+asserted < 2^16 (make_data_tables.py:107).  Any DP path that leaves the main
+diagonal must use at least one insertion AND one deletion (>= 200000), so
+every optimal alignment stays on the diagonal and the full DP collapses to a
+linear recurrence over positions k = 0..L-1:
+
+    D[0] = 0
+    D[k] = min(D[k-1] + sub(a[k-1], b[k-1]),
+               D[k-2] + 1   if a[k-1] == b[k-2] and a[k-2] == b[k-1])
+
+(transposition only for k >= 2).  For a whole (M x N) tile of string pairs,
+each step becomes three small matmuls against 16-wide one-hot encodings:
+
+    sub_k  = onehot(A[:, k]) @ C @ onehot(B[:, k]).T       (CIE2000 costs)
+    swap_k = (onehot(A[:,k]) @ onehot(B[:,k-1]).T)
+           * (onehot(A[:,k-1]) @ onehot(B[:,k]).T)          (0/1 eligibility)
+
+which is exactly the MXU's shape of work.  A Pallas kernel keeps the DP state
+for a tile in VMEM across all L steps so HBM traffic is the uint16 output
+only; a pure-XLA blocked path provides the same numerics everywhere (CPU
+tests, interpretability) and a scalar full-Damerau-Levenshtein oracle guards
+the diagonal reduction in tests.
+
+Table layout parity: reference stores an upper-triangle matrix encoded as
+dist[o][(i << MASKED_BITS) + j], j < i, and symmetrises at load time
+(reference screen.py:343-367).  `save_tables` writes that exact npz layout so
+generated files are drop-in replacements; `load_tables`/`build_tables` return
+the full symmetric matrix the encoder gathers from.
+"""
+
+import functools
+import os
+from typing import Optional
+
+import numpy as np
+
+from iivision_tpu import colours, palettes, screen
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+TRANSPOSE_COST = 1
+INDEL_COST = 100000
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
+
+
+# --- pixel-code strings -------------------------------------------------------
+
+@functools.lru_cache(None)
+def lane_pixel_codes(mode: VideoMode, lane: int) -> np.ndarray:
+    """(2^MASKED_BITS, MASKED_DOTS) uint8 colour codes for all masked values.
+
+    Enumerates every masked window value of a packed lane, expands it to
+    display dots (identity for DHGR; palette-bit shifting for HGR, reference
+    screen.py:741-789) and runs the sliding-window NTSC colour model at the
+    lane's clock phase (reference make_data_tables.py:143-151).
+    """
+    spec = screen.spec_for_mode(mode)
+    n = 1 << spec.MASKED_BITS
+    vals = np.arange(n, dtype=np.int64)
+    dots = spec.to_dots(vals, lane)
+    return colours.dots_to_pixels_vec(
+        dots, num_bits=int(spec.MASKED_DOTS),
+        init_phase=spec.PHASES[lane]).astype(np.uint8)
+
+
+def substitute_matrix(palette: Palette) -> np.ndarray:
+    """(16,16) int32 CIE2000 substitution costs."""
+    return palettes.diff_matrix(palette)
+
+
+# --- scalar oracle: full weighted Damerau-Levenshtein ------------------------
+
+def dam_lev_scalar(a, b, sub: np.ndarray,
+                   transpose_cost: float = TRANSPOSE_COST,
+                   indel_cost: float = INDEL_COST) -> float:
+    """Textbook weighted Damerau-Levenshtein (with the DA 'last seen' table).
+
+    Behavioural oracle for the diagonal reduction; mirrors the semantics of
+    the weighted_levenshtein.dam_lev C extension the reference calls
+    (reference make_data_tables.py:92-108).  Host-side, test use only.
+    """
+    la, lb = len(a), len(b)
+    maxdist = (la + lb) * indel_cost + 1
+    d = np.full((la + 2, lb + 2), maxdist, dtype=np.float64)
+    d[1, 1] = 0
+    for i in range(1, la + 1):
+        d[i + 1, 1] = i * indel_cost
+    for j in range(1, lb + 1):
+        d[1, j + 1] = j * indel_cost
+    da = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l_ = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0.0
+                db = j
+            else:
+                cost = float(sub[a[i - 1], b[j - 1]])
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,  # substitution
+                d[i + 1, j] + indel_cost,  # insertion
+                d[i, j + 1] + indel_cost,  # deletion
+                d[k, l_] + (i - k - 1) * indel_cost + transpose_cost
+                + (j - l_ - 1) * indel_cost,  # transposition
+            )
+        da[a[i - 1]] = i
+    return float(d[la + 1, lb + 1])
+
+
+def diagonal_dp_scalar(a, b, sub: np.ndarray) -> float:
+    """Scalar form of the diagonal recurrence (test cross-check)."""
+    assert len(a) == len(b)
+    dm2, dm1 = 0.0, None
+    for k in range(len(a)):
+        dk = (dm1 if dm1 is not None else 0.0) + float(sub[a[k], b[k]])
+        if k >= 1 and a[k] == b[k - 1] and a[k - 1] == b[k]:
+            dk = min(dk, dm2 + TRANSPOSE_COST)
+        dm2, dm1 = (dm1 if dm1 is not None else 0.0), dk
+    return dm1 if dm1 is not None else 0.0
+
+
+# --- XLA batched diagonal DP ---------------------------------------------------
+
+def dp_distance_tile(a_codes, b_codes, sub_f32):
+    """Distance matrix for all pairs of pixel strings (pure jax.numpy).
+
+    Args:
+      a_codes: (M, L) int32 colour codes.
+      b_codes: (N, L) int32 colour codes.
+      sub_f32: (16, 16) float32 substitution costs.
+    Returns:
+      (M, N) float32 distances (exact integers).
+    """
+    import jax.numpy as jnp
+
+    L = a_codes.shape[-1]
+    eye = jnp.arange(16, dtype=jnp.int32)
+
+    def onehot(col):
+        return (col[:, None] == eye[None, :]).astype(jnp.float32)
+
+    big = jnp.float32(1e9)
+    d_m2 = jnp.zeros((a_codes.shape[0], b_codes.shape[0]), jnp.float32)
+    d_m1 = None
+    for k in range(L):
+        ak = onehot(a_codes[:, k])
+        bk = onehot(b_codes[:, k])
+        sub_k = ak @ sub_f32 @ bk.T
+        dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
+        if k >= 1:
+            akm1 = onehot(a_codes[:, k - 1])
+            bkm1 = onehot(b_codes[:, k - 1])
+            swap = (ak @ bkm1.T) * (akm1 @ bk.T)
+            dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST + (1.0 - swap) * big)
+        d_m2 = d_m1 if d_m1 is not None else d_m2
+        d_m1 = dk
+    return d_m1
+
+
+def edit_distance_matrix_xla(mode: VideoMode, palette: Palette, lane: int,
+                             block: int = 2048):
+    """Full (N, N) uint16 distance matrix for one lane, blocked over rows."""
+    import jax
+    import jax.numpy as jnp
+
+    codes = jnp.asarray(lane_pixel_codes(mode, lane).astype(np.int32))
+    sub = jnp.asarray(substitute_matrix(palette).astype(np.float32))
+    n = codes.shape[0]
+
+    @jax.jit
+    def block_fn(a_block):
+        return dp_distance_tile(a_block, codes, sub).astype(jnp.uint16)
+
+    rows = [block_fn(codes[i:i + block]) for i in range(0, n, block)]
+    return jnp.concatenate(rows, axis=0)
+
+
+# --- Pallas fused kernel --------------------------------------------------------
+
+def _editdist_kernel_factory(L: int):
+    import jax.numpy as jnp
+
+    def kernel(a_ref, b_ref, sub_ref, out_ref):
+        eye = jnp.arange(16, dtype=jnp.int32)
+
+        def onehot(col):
+            return (col[:, None] == eye[None, :]).astype(jnp.float32)
+
+        sub = sub_ref[:]
+        big = jnp.float32(1e9)
+        oh_a = [onehot(a_ref[:, k]) for k in range(L)]
+        oh_b = [onehot(b_ref[:, k]) for k in range(L)]
+        d_m2 = jnp.zeros(out_ref.shape, jnp.float32)
+        d_m1 = None
+        for k in range(L):
+            sub_k = jnp.dot(
+                jnp.dot(oh_a[k], sub, preferred_element_type=jnp.float32),
+                oh_b[k].T, preferred_element_type=jnp.float32)
+            dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
+            if k >= 1:
+                swap = (
+                    jnp.dot(oh_a[k], oh_b[k - 1].T,
+                            preferred_element_type=jnp.float32)
+                    * jnp.dot(oh_a[k - 1], oh_b[k].T,
+                              preferred_element_type=jnp.float32))
+                dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST + (1.0 - swap) * big)
+            d_m2 = d_m1 if d_m1 is not None else d_m2
+            d_m1 = dk
+        out_ref[:] = d_m1.astype(jnp.uint16)
+
+    return kernel
+
+
+def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
+                                tile_m: int = 512, tile_n: int = 1024):
+    """Full (N, N) uint16 distance matrix via a fused Pallas kernel.
+
+    The DP state for a (tile_m, tile_n) tile of pairs lives in VMEM across
+    all L recurrence steps; HBM traffic is the uint16 output tile plus the
+    tiny code/cost inputs.  Grid = (N/tile_m, N/tile_n).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    codes_np = lane_pixel_codes(mode, lane).astype(np.int32)
+    n, L = codes_np.shape
+    codes = jnp.asarray(codes_np)
+    sub = jnp.asarray(substitute_matrix(palette).astype(np.float32))
+
+    kernel = _editdist_kernel_factory(L)
+
+    grid = (n // tile_m, n // tile_n)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.uint16),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, L), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, L), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )(codes, codes, sub)
+
+
+# --- public API -----------------------------------------------------------------
+
+def build_tables(mode: VideoMode, palette: Palette,
+                 backend: str = "auto"):
+    """Build edit-distance LUTs for all lanes of a video mode.
+
+    Returns (n_lanes, 2^(2*MASKED_BITS)) uint16 on the default JAX device:
+    the full symmetric matrix, indexed by (src << MASKED_BITS) + tgt.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu" else "xla")
+    spec = screen.spec_for_mode(mode)
+    mats = []
+    for lane in range(spec.N_LANES):
+        if backend == "pallas":
+            m = edit_distance_matrix_pallas(mode, palette, lane)
+        else:
+            m = edit_distance_matrix_xla(mode, palette, lane)
+        mats.append(m.reshape(-1))
+    return jnp.stack(mats)
+
+
+def table_path(mode: VideoMode, palette: Palette,
+               data_dir: Optional[str] = None) -> str:
+    spec = screen.spec_for_mode(mode)
+    return os.path.join(
+        data_dir or DATA_DIR,
+        "%s_palette_%d_edit_distance.npz" % (spec.NAME, palette.value))
+
+
+def save_tables(tables, mode: VideoMode, palette: Palette,
+                data_dir: Optional[str] = None) -> str:
+    """Save LUTs in the reference's npz layout (upper triangle only).
+
+    Written files are drop-in replacements for the reference's
+    transcoder/data/*.npz artifacts (reference make_data_tables.py:177-188).
+    """
+    spec = screen.spec_for_mode(mode)
+    bits = spec.MASKED_BITS
+    n = 1 << bits
+    full = np.asarray(tables).reshape(len(tables), n, n)
+    tri = np.where(
+        np.arange(n)[:, None] > np.arange(n)[None, :], full, 0
+    ).astype(np.uint16)
+    path = table_path(mode, palette, data_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez_compressed(path, edit_distance=tri.reshape(len(tables), n * n))
+    return path
+
+
+def load_tables(mode: VideoMode, palette: Palette,
+                data_dir: Optional[str] = None) -> np.ndarray:
+    """Load + symmetrise reference-layout npz (reference screen.py:343-367)."""
+    spec = screen.spec_for_mode(mode)
+    n = 1 << spec.MASKED_BITS
+    dist = np.load(table_path(mode, palette, data_dir))["edit_distance"]
+    full = dist.reshape(len(dist), n, n)
+    full = full + np.transpose(full, (0, 2, 1))
+    return full.reshape(len(dist), n * n)

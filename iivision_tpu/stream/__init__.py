@@ -1,0 +1,6 @@
+"""Frozen `.a2m` stream ABI: opcode ISA, symbol table, 2KB framing."""
+
+from iivision_tpu.stream.symbols import SymbolTable  # noqa: F401
+from iivision_tpu.stream.opcodes import (  # noqa: F401
+    OpcodeAddresses, Header, Ack, Terminate, Nop, Tick, emit_opcode,
+)

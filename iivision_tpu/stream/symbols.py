@@ -1,0 +1,50 @@
+"""cc65 .dbg symbol-table parser.
+
+The transcoder is a compiler targeting the player's opcode entry addresses;
+those addresses are read from the cc65 debug file emitted when the player is
+assembled (parity: reference transcoder/symbol_table.py:6-38, reference
+transcoder/opcodes.py:168-187).  `iivision_tpu/data/iivision.dbg` is the
+checked-in build artifact of the reference player binary - the frozen ABI.
+"""
+
+import os
+from typing import Dict, Optional, TextIO
+
+DEFAULT_DBG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "iivision.dbg")
+
+
+class SymbolTable:
+    """Parses cc65 `sym` lines of a .dbg file into {name: {key: value}}."""
+
+    def __init__(self, debugfile: Optional[str] = None):
+        self.debugfile = debugfile or DEFAULT_DBG
+
+    def parse(self, iostream: Optional[TextIO] = None) -> Dict[str, Dict]:
+        syms = {}
+        if iostream is None:
+            iostream = open(self.debugfile, "r")
+        with iostream as f:
+            for line in f.read().split("\n"):
+                if not line.startswith("sym"):
+                    continue
+                sym = {}
+                for kv in line.split()[1].split(","):
+                    k, v = kv.split("=")
+                    sym[k] = v
+                syms[sym["name"]] = sym
+        return syms
+
+    def opcode_addresses(self) -> Dict[str, int]:
+        """Extract {opcode_name: entry_address} for all `op_*` player labels.
+
+        cc65 quotes symbol names, so keys look like '"op_ack"'; we strip the
+        quotes and the op_ prefix: e.g. 'tick_34_page_40' -> 0x....
+        """
+        out = {}
+        for name, data in self.parse().items():
+            stripped = name.strip('"')
+            if stripped.startswith("op_"):
+                out[stripped[3:]] = int(data["val"], 16)
+        return out

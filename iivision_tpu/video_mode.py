@@ -1,0 +1,12 @@
+"""Video encoding modes.
+
+Parity: reference transcoder/video_mode.py (values are part of the stream
+header ABI - Header byte 7 carries VideoMode.value, player/main.s:289-343).
+"""
+
+import enum
+
+
+class VideoMode(enum.Enum):
+    HGR = 0  # Hi-Res: 280x192, main memory only
+    DHGR = 1  # Double Hi-Res: 560 dots, interleaved AUX/MAIN memory

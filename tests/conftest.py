@@ -1,0 +1,22 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU paths are exercised by bench.py / __graft_entry__.py; unit tests run
+on CPU so they are fast and deterministic, with 8 virtual devices so the
+multi-chip sharding paths compile and execute.
+
+Note: this environment's sitecustomize force-registers the remote `axon` TPU
+platform and sets JAX_PLATFORMS=axon, so a plain env-var default is not
+enough - we must override the config before the backend initialises.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,73 @@
+"""Colour-model tests (ports of reference transcoder/colours_test.py plus
+vectorised-path cross-checks)."""
+
+import numpy as np
+
+from iivision_tpu import colours
+from iivision_tpu.colours import HGRColours
+
+C = HGRColours
+
+
+def test_rol_ror():
+    assert colours.rol(0b1111, 1) == 0b1111
+    assert colours.rol(0b1000, 1) == 0b0001
+    assert colours.rol(0b0101, 1) == 0b1010
+    assert colours.rol(0b1111, 3) == 0b1111
+    assert colours.rol(0b1000, 2) == 0b0010
+    assert colours.rol(0b0101, 2) == 0b0101
+    assert colours.ror(0b1111, 1) == 0b1111
+    assert colours.ror(0b0001, 1) == 0b1000
+    assert colours.ror(0b1010, 1) == 0b0101
+    assert colours.ror(0b1111, 3) == 0b1111
+    assert colours.ror(0b0010, 2) == 0b1000
+    assert colours.ror(0b0101, 2) == 0b0101
+
+
+def test_rol_ror_inverse():
+    for v in range(16):
+        for r in range(8):
+            assert colours.ror(colours.rol(v, r), r) == v
+
+
+def test_dots_to_pixels_single_run():
+    # Golden case from reference transcoder/colours_test.py:11-47
+    expect = (
+        [C.BLACK] * 6
+        + [C.DARK_BLUE, C.MED_BLUE, C.AQUA, C.AQUA, C.GREEN, C.BROWN]
+        + [C.BLACK] * 19
+    )
+    got = colours.dots_to_nominal_colour_pixels(
+        31, 0b00000000000000000000111000000000, HGRColours, init_phase=0)
+    assert got == tuple(expect)
+
+
+def test_dots_to_pixels_periodic():
+    # Golden case from reference transcoder/colours_test.py:49-86
+    cycle = [C.BLACK, C.MAGENTA, C.VIOLET, C.LIGHT_BLUE,
+             C.WHITE, C.AQUA, C.GREEN, C.BROWN]
+    expect = cycle * 3 + [C.BLACK] * 7
+    got = colours.dots_to_nominal_colour_pixels(
+        31, 0b0000111100001111000011110000, HGRColours, init_phase=0)
+    assert got == tuple(expect)
+
+
+def test_vectorised_matches_scalar():
+    rng = np.random.RandomState(0)
+    dots = rng.randint(0, 2 ** 21, size=64, dtype=np.int64)
+    for init_phase in range(4):
+        vec = colours.dots_to_pixels_vec(dots, num_bits=18,
+                                         init_phase=init_phase)
+        for i, d in enumerate(dots):
+            scalar = colours.dots_to_nominal_colour_pixel_values(
+                18, int(d), HGRColours, init_phase=init_phase)
+            assert tuple(vec[i].tolist()) == scalar
+
+
+def test_vectorised_jax():
+    import jax.numpy as jnp
+    dots = jnp.arange(32, dtype=jnp.int32) * 37
+    vec = colours.dots_to_pixels_vec(dots, num_bits=10, init_phase=1)
+    ref = colours.dots_to_pixels_vec(np.arange(32, dtype=np.int64) * 37,
+                                     num_bits=10, init_phase=1)
+    assert np.array_equal(np.asarray(vec), ref)

@@ -1,0 +1,85 @@
+"""Palette / CIE2000 tests.
+
+CIEDE2000 is validated against the canonical Sharma, Wu & Dalal (2005) test
+dataset values, which colormath (the reference's dependency) also matches.
+"""
+
+import numpy as np
+
+from iivision_tpu import palettes
+from iivision_tpu.colours import HGRColours
+from iivision_tpu.palettes import Palette
+
+
+# (L1,a1,b1), (L2,a2,b2), expected dE2000 - from Sharma et al. (2005), Table 1
+SHARMA_CASES = [
+    ((50.0000, 2.6772, -79.7751), (50.0000, 0.0000, -82.7485), 2.0425),
+    ((50.0000, 3.1571, -77.2803), (50.0000, 0.0000, -82.7485), 2.8615),
+    ((50.0000, 2.8361, -74.0200), (50.0000, 0.0000, -82.7485), 3.4412),
+    ((50.0000, -1.3802, -84.2814), (50.0000, 0.0000, -82.7485), 1.0000),
+    ((50.0000, 2.5000, 0.0000), (50.0000, 0.0000, -2.5000), 4.3065),
+    ((50.0000, 2.5000, 0.0000), (73.0000, 25.0000, -18.0000), 27.1492),
+    ((50.0000, 2.5000, 0.0000), (50.0000, 3.2592, 0.3350), 1.0000),
+    ((63.0109, -31.0961, -5.8663), (62.8187, -29.7946, -4.0864), 1.2630),
+    ((2.0776, 0.0795, -1.1350), (0.9033, -0.0636, -0.5514), 0.9082),
+    ((35.0831, -44.1164, 3.7933), (35.0232, -40.0716, 1.5901), 1.8645),
+    ((22.7233, 20.0904, -46.6940), (23.0331, 14.9730, -42.5619), 2.0373),
+]
+
+
+def test_cie2000_sharma_dataset():
+    for lab1, lab2, expect in SHARMA_CASES:
+        got = float(palettes.delta_e_cie2000(np.array(lab1), np.array(lab2)))
+        assert abs(got - expect) < 1e-4, (lab1, lab2, got, expect)
+        # symmetry
+        got2 = float(palettes.delta_e_cie2000(np.array(lab2), np.array(lab1)))
+        assert abs(got2 - expect) < 1e-4
+
+
+def test_srgb_to_lab_reference_points():
+    # white -> L=100, a=b=0
+    lab = palettes.srgb_to_lab(np.array([255.0, 255.0, 255.0]))
+    assert abs(lab[0] - 100.0) < 0.01
+    assert abs(lab[1]) < 0.01 and abs(lab[2]) < 0.01
+    # black -> L=0
+    lab0 = palettes.srgb_to_lab(np.zeros(3))
+    assert np.allclose(lab0, 0.0, atol=1e-6)
+    # mid grey is neutral
+    labg = palettes.srgb_to_lab(np.array([126.0, 126.0, 126.0]))
+    assert abs(labg[1]) < 0.05 and abs(labg[2]) < 0.05
+
+
+def test_diff_matrix_invariants():
+    for pal in (Palette.NTSC, Palette.IIGS):
+        dm = palettes.diff_matrix(pal)
+        assert dm.shape == (16, 16)
+        assert np.array_equal(dm, dm.T)
+        assert np.all(np.diag(dm) == 0)
+        assert dm.min() >= 0
+        assert dm.max() < 2 ** 16
+        # off-diagonal distances are nonzero except for duplicate colours
+        offdiag = dm + np.eye(16, dtype=np.int32) * 10 ** 6
+
+
+def test_ntsc_duplicate_greys():
+    # NTSC palette has two identical greys (reference transcoder/palette.py:
+    # 43,48) - GREY1 and GREY2 rows must be identical and mutual distance 0
+    dm = palettes.diff_matrix(Palette.NTSC)
+    g1 = HGRColours.GREY1.value
+    g2 = HGRColours.GREY2.value
+    assert dm[g1, g2] == 0
+    assert np.array_equal(dm[g1], dm[g2])
+    # IIGS greys differ
+    dmi = palettes.diff_matrix(Palette.IIGS)
+    assert dmi[g1, g2] > 0
+
+
+def test_diff_matrix_plausible_magnitudes():
+    dm = palettes.diff_matrix(Palette.NTSC)
+    w = HGRColours.WHITE.value
+    b = HGRColours.BLACK.value
+    # black-white is the largest luminance contrast
+    assert dm[b, w] == dm.max() or dm[b, w] > 90
+    # reference notes smallest substitution cost is ~20 for palette pairs
+    nonzero = dm[dm > 0]
+    assert nonzero.min() >= 5

@@ -1,0 +1,212 @@
+"""Screen-model tests: lane derivation against an independent packed-scalar
+oracle (the reference's documented uint64 layout, reference transcoder/
+screen.py:550-1007), address maps, masked updates, HGR dot expansion."""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import screen
+from iivision_tpu.screen import DHGR, HGR
+from iivision_tpu.video_mode import VideoMode
+
+
+# --- oracle: reference-style packed scalars (test-only reimplementation) ----
+
+def pack_dhgr_oracle(main, aux):
+    """(32,256)x2 u8 -> (32,128) int64 packed columns per reference layout."""
+    a0 = (aux[:, 0::2] & 0x7F).astype(np.int64)
+    m0 = (main[:, 0::2] & 0x7F).astype(np.int64)
+    a1 = (aux[:, 1::2] & 0x7F).astype(np.int64)
+    m1 = (main[:, 1::2] & 0x7F).astype(np.int64)
+    body = (a0 << 3) + (m0 << 10) + (a1 << 17) + (m1 << 24)
+    hdr = (np.roll(body, 1, axis=1) >> 28) & 0b111
+    hdr[:, 0] = 0
+    ftr = ((np.roll(body, -1, axis=1) >> 3) & 0b111) << 31
+    ftr[:, -1] = 0
+    return hdr ^ body ^ ftr
+
+
+DHGR_MASKS = [(0x1FFF << (7 * o), 7 * o) for o in range(4)]
+
+
+def pack_hgr_oracle(main):
+    even = main[:, 0::2].astype(np.int64)
+    odd = main[:, 1::2].astype(np.int64)
+    body = (even << 3) + ((odd & 0x7F) << 12) + ((odd & 0x80) << 4)
+    prev = np.roll(body, 1, axis=1)
+    hdr = ((prev & (1 << 11)) >> 9) ^ ((prev & (0b11 << 17)) >> 17)
+    hdr[:, 0] = 0
+    nxt = np.roll(body, -1, axis=1)
+    ftr = (((nxt & (1 << 10)) >> 10) ^ ((nxt & (0b11 << 3)) >> 2)) << 19
+    ftr[:, -1] = 0
+    return hdr ^ body ^ ftr
+
+
+def random_screens(seed=0):
+    rng = np.random.RandomState(seed)
+    main = rng.randint(0, 256, size=(32, 256)).astype(np.uint8)
+    aux = rng.randint(0, 256, size=(32, 256)).astype(np.uint8)
+    return main, aux
+
+
+# --- address maps ------------------------------------------------------------
+
+def test_y_to_base_addr():
+    assert screen.y_to_base_addr(0) == 8192
+    assert screen.y_to_base_addr(0, 1) == 16384
+    assert screen.y_to_base_addr(1) == 8192 + 1024
+    assert screen.y_to_base_addr(8) == 8192 + 128
+    assert screen.y_to_base_addr(64) == 8192 + 40
+    assert screen.y_to_base_addr(191) == 8192 + 1024 * 7 + 128 * 7 + 40 * 2
+
+
+def test_screen_holes():
+    # 8 screen-hole bytes per 128-byte half-page: 8192 - 192*40 = 512
+    assert int(screen.SCREEN_HOLES.sum()) == 512
+    # spot check: (0,0) is y=0,x=0 - not a hole
+    assert not screen.SCREEN_HOLES[0, 0]
+    # last 8 bytes of each 128-block are holes ($2078-$207F etc.)
+    assert screen.SCREEN_HOLES[0, 120]
+    assert screen.SCREEN_HOLES[0, 127]
+
+
+def test_memory_map_roundtrip():
+    main, _ = random_screens()
+    mm = screen.MemoryMap(1, main.copy())
+    flat = mm.to_flat_memory_map()
+    assert np.array_equal(flat.data, main.reshape(8192))
+    assert np.array_equal(flat.to_memory_map().page_offset, main)
+    mm.write(32, 5, 0xAB)
+    assert mm.page_offset[0, 5] == 0xAB
+    flat2 = screen.FlatMemoryMap(1)
+    flat2.write(8192, 0x42)
+    assert flat2.data[0] == 0x42
+    with pytest.raises(ValueError):
+        flat2.write(4096, 1)
+
+
+# --- DHGR lanes ---------------------------------------------------------------
+
+def test_dhgr_lanes_match_packed_oracle():
+    main, aux = random_screens(1)
+    packed = pack_dhgr_oracle(main, aux)
+    lanes = screen.dhgr_masked_lanes(main, aux)
+    assert lanes.shape == (32, 128, 4)
+    for o, (mask, shift) in enumerate(DHGR_MASKS):
+        expect = (packed & mask) >> shift
+        assert np.array_equal(lanes[:, :, o], expect), "lane %d" % o
+    assert lanes.max() < 2 ** 13
+
+
+def test_dhgr_lanes_no_page_leak():
+    # a solid-white neighbour page must not influence column 0/127 halos
+    main = np.zeros((32, 256), dtype=np.uint8)
+    aux = np.zeros((32, 256), dtype=np.uint8)
+    main[1] = 0x7F
+    aux[1] = 0x7F
+    lanes = screen.dhgr_masked_lanes(main, aux)
+    assert lanes[0].max() == 0 and lanes[2].max() == 0
+    # page 1 col 0 header and col 127 footer are zero
+    assert lanes[1, 0, 0] & 0b111 == 0
+    assert (lanes[1, 127, 3] >> 10) & 0b111 == 0
+
+
+def test_dhgr_masked_update():
+    main, aux = random_screens(2)
+    lanes = screen.dhgr_masked_lanes(main, aux)
+    for offset, is_aux, content in [(0, True, 0x55), (1, False, 0x7F),
+                                    (6, False, 0x00), (3, True, 0x2A)]:
+        lane = DHGR.byte_offset(offset, is_aux)
+        updated = DHGR.masked_update(lanes[:, :, lane], content)
+        # oracle: apply to raw bytes, re-derive
+        m2, a2 = main.copy(), aux.copy()
+        (a2 if is_aux else m2)[:, offset] = content
+        lanes2 = screen.dhgr_masked_lanes(m2, a2)
+        col = offset // 2
+        assert np.array_equal(updated[:, col], lanes2[:, col, lane])
+
+
+def test_dhgr_byte_offset_map():
+    # parity: reference screen_test.py byte offset semantics
+    assert DHGR.byte_offset(0, True) == 0
+    assert DHGR.byte_offset(0, False) == 1
+    assert DHGR.byte_offset(1, True) == 2
+    assert DHGR.byte_offset(1, False) == 3
+    assert DHGR.bank_lanes(True) == (0, 2)
+    assert DHGR.bank_lanes(False) == (1, 3)
+
+
+# --- HGR lanes ----------------------------------------------------------------
+
+def test_hgr_lanes_match_packed_oracle():
+    main, _ = random_screens(3)
+    packed = pack_hgr_oracle(main)
+    lanes = screen.hgr_masked_lanes(main)
+    assert lanes.shape == (32, 128, 2)
+    assert np.array_equal(lanes[:, :, 0], packed & 0x3FFF)
+    assert np.array_equal(lanes[:, :, 1], (packed >> 8) & 0x3FFF)
+
+
+def test_hgr_masked_update():
+    main, _ = random_screens(4)
+    lanes = screen.hgr_masked_lanes(main)
+    for offset, content in [(0, 0xFF), (1, 0x80), (7, 0x55), (250, 0xAA)]:
+        lane = HGR.byte_offset(offset, False)
+        updated = HGR.masked_update(lanes[:, :, lane], content, lane)
+        m2 = main.copy()
+        m2[:, offset] = content
+        lanes2 = screen.hgr_masked_lanes(m2)
+        col = offset // 2
+        assert np.array_equal(updated[:, col], lanes2[:, col, lane])
+
+
+def test_hgr_to_dots_basics():
+    # All-zero window -> no dots
+    assert screen.hgr_to_dots(np.array([0]), 0)[0] == 0
+    # Single data bit 0 of even byte (masked bit 3) -> dots 3,4
+    got = int(screen.hgr_to_dots(np.array([1 << 3]), 0)[0])
+    assert got == 0b11 << 3
+    # palette bit of even byte shifts dots right one position
+    pal = int(screen.hgr_to_dots(np.array([(1 << 3) | (1 << 10)]), 0)[0])
+    assert pal == 0b11 << 4
+    # bit 6 of even byte doubles; its third (spill) dot at position 17 is
+    # overwritten by the (zero) footer unless the footer is palette-shifted
+    got6 = int(screen.hgr_to_dots(np.array([1 << 9]), 0)[0])
+    assert got6 == 0b11 << 15
+    # with a palette-shifted footer (masked bit 11 set) the spill dot survives
+    got6p = int(screen.hgr_to_dots(np.array([(1 << 9) | (1 << 11)]), 0)[0])
+    assert got6p & (0b111 << 15) == 0b111 << 15
+
+
+def test_hgr_to_dots_vectorised_consistency():
+    # spot-check vector vs python-int scalar evaluation
+    vals = np.arange(0, 2 ** 14, 97, dtype=np.int64)
+    for off in (0, 1):
+        vec = screen.hgr_to_dots(vals, off)
+        for v, d in zip(vals[:50], vec[:50]):
+            assert int(screen.hgr_to_dots(np.array([v]), off)[0]) == int(d)
+        assert vec.max() < 2 ** 21
+
+
+def test_lanes_jax_matches_numpy():
+    import jax.numpy as jnp
+    main, aux = random_screens(5)
+    got = screen.dhgr_masked_lanes(jnp.asarray(main), jnp.asarray(aux))
+    want = screen.dhgr_masked_lanes(main, aux)
+    assert np.array_equal(np.asarray(got), want)
+    got_h = screen.hgr_masked_lanes(jnp.asarray(main))
+    assert np.array_equal(np.asarray(got_h), screen.hgr_masked_lanes(main))
+
+
+def test_interleave_bank_lanes():
+    even = np.arange(32 * 128).reshape(32, 128)
+    odd = even + 100000
+    out = screen.interleave_bank_lanes(even, odd)
+    assert out.shape == (32, 256)
+    assert np.array_equal(out[:, 0::2], even)
+    assert np.array_equal(out[:, 1::2], odd)
+
+
+def test_spec_for_mode():
+    assert screen.spec_for_mode(VideoMode.DHGR) is DHGR
+    assert screen.spec_for_mode(VideoMode.HGR) is HGR
