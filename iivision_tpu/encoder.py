@@ -1,0 +1,426 @@
+"""TPU-native movie encoder: the whole transcoder inner loop as one XLA scan.
+
+The reference encodes each frame with a Python heapq greedy loop that pops one
+(page, offset) at a time and mutates a packed screen model per store
+(reference transcoder/video.py:95-251) - inherently sequential and the reason
+transcode runs 5-10x slower than realtime on CPU (reference README.md:131).
+
+TPU redesign: screen pages are *independent* - a packed column never spans
+pages, so stores on different pages cannot interact (reference screen.py:
+207-226 zeroes halos at page boundaries).  Therefore up to 32 opcodes (one
+per page) can be selected and applied in parallel with results identical to
+running the same per-page greedy choices sequentially.  The encoder runs a
+`lax.scan` whose step selects the top-K priority pages, picks each page's
+best store + 3 companion offsets, applies them functionally, and emits K
+opcodes.  K=1 reproduces the reference's global-greedy order; K=8..32 trades
+strict greedy order for 8-32x fewer sequential steps.  A whole movie - every
+frame, every 2KB bank flip - compiles to ONE XLA program; batches of movies
+vmap over it.
+
+Scheduling semantics mirrored from the reference encode loop (reference
+transcoder/movie.py:56-111):
+  - one opcode per audio tick; frame f is pulled at the first tick
+    >= ticks_per_frame * f; every_n-th pulled frame becomes the new target;
+  - diff weights + update priorities are recomputed at every encoded-frame
+    start and (DHGR) at every 2KB bank flip (new encode_frame generator,
+    reference movie.py:94-102);
+  - when a page has no work the opcode is the reference's padding op: store
+    target[0,0] at offset 0 of page 32, NOT applied to the encoder's screen
+    model (reference video.py:248-251 yields padding without apply);
+  - priorities accumulate across frames and are cleared where a new frame's
+    diff is zero (reference video.py:113-117).
+"""
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+from iivision_tpu import screen
+from iivision_tpu.stream import opcodes as ops_mod
+from iivision_tpu.stream.framing import segment_schedule
+from iivision_tpu.video_mode import VideoMode
+
+# ops per step: static K; per-op record [page, content, o0, o1, o2, o3]
+OP_FIELDS = 6
+
+
+# --- host-side movie planning -------------------------------------------------
+
+@dataclass
+class MoviePlan:
+    """Static per-step schedule driving the encoder scan (all numpy)."""
+    n_ops: int
+    k: int
+    step_frame: np.ndarray  # (S,) int32: index into the stacked targets
+    step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
+    step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
+    step_nvalid: np.ndarray  # (S,) int32: number of real ops in this step
+    op_tick_index: np.ndarray  # (n_ops,) int32: audio tick of each opcode
+
+
+def plan_movie(
+        n_frames: int,
+        n_audio_ticks: int,
+        input_frame_rate: float,
+        ticks_per_second: float,
+        every_n_video_frames: int,
+        mode: VideoMode,
+        k: int = 8,
+) -> MoviePlan:
+    """Plan the opcode schedule for a movie (host, pure numpy).
+
+    Derives, for every emitted opcode, which encoded frame is the target and
+    which memory bank it stores to, then chunks runs of (frame, bank) into
+    scan steps of K opcodes with a recompute flag on each chunk's first step.
+    """
+    tpf = ticks_per_second / input_frame_rate
+    # tick at which video frame pull f (1-based) happens; the movie ends when
+    # the (n_frames+1)-th pull would raise StopIteration
+    end_tick = int(np.ceil(tpf * (n_frames + 1)))
+    n_ops = int(min(n_audio_ticks, end_tick - 1))
+    if n_ops <= 0:
+        raise ValueError("Empty movie: no opcodes to emit")
+
+    ticks = np.arange(1, n_ops + 1)
+    # pulled-frame number after tick t: number of pulls with ceil(tpf*f) <= t
+    pulled = np.minimum(np.floor(ticks / tpf).astype(np.int64) + 1, n_frames)
+    # encoded target index: highest every_n-aligned pulled frame, mapped to
+    # its position in the *encoded* frame stack
+    encoded = (pulled - 1) // every_n_video_frames
+    n_encoded = int(encoded.max()) + 1
+
+    # bank per opcode (DHGR): opcode i sits in 2KB segment s(i); bank = s % 2
+    op_idx = np.arange(n_ops)
+    seg = np.where(op_idx < ops_mod.OPS_FIRST_FRAME, 0,
+                   1 + (op_idx - ops_mod.OPS_FIRST_FRAME)
+                   // ops_mod.OPS_PER_FRAME)
+    bank = (seg % 2).astype(np.int32) if mode == VideoMode.DHGR else \
+        np.zeros(n_ops, dtype=np.int32)
+
+    # chunk boundaries: first op, encoded-frame change, bank change
+    change = np.zeros(n_ops, dtype=bool)
+    change[0] = True
+    change[1:] = (np.diff(encoded) != 0) | (np.diff(bank) != 0)
+    chunk_starts = np.flatnonzero(change)
+    chunk_ends = np.append(chunk_starts[1:], n_ops)
+
+    step_frame, step_bank, step_recompute, step_nvalid = [], [], [], []
+    for cs, ce in zip(chunk_starts, chunk_ends):
+        length = ce - cs
+        n_steps = -(-length // k)
+        for s in range(n_steps):
+            step_frame.append(encoded[cs])
+            step_bank.append(bank[cs])
+            step_recompute.append(s == 0)
+            step_nvalid.append(min(k, length - s * k))
+
+    return MoviePlan(
+        n_ops=n_ops,
+        k=k,
+        step_frame=np.asarray(step_frame, dtype=np.int32),
+        step_bank=np.asarray(step_bank, dtype=np.int32),
+        step_recompute=np.asarray(step_recompute, dtype=bool),
+        step_nvalid=np.asarray(step_nvalid, dtype=np.int32),
+        op_tick_index=op_idx.astype(np.int32),
+    ), n_encoded
+
+
+# --- target preparation ---------------------------------------------------------
+
+def prepare_targets(frames_main: np.ndarray,
+                    frames_aux: Optional[np.ndarray],
+                    mode: VideoMode):
+    """Stack per-frame targets into encoder inputs.
+
+    Args:
+      frames_main: (F, 32, 256) uint8 encoded-frame main-memory targets.
+      frames_aux: (F, 32, 256) uint8 for DHGR, or None.
+    Returns:
+      (lanes_tgt (F,32,128,L) int32, bytes_tgt (F,2,32,256) int32) as jnp.
+    """
+    import jax.numpy as jnp
+
+    main = jnp.asarray(frames_main)
+    if mode == VideoMode.DHGR:
+        aux = jnp.asarray(frames_aux)
+        lanes = screen.dhgr_masked_lanes(main, aux)
+        bytes_tgt = jnp.stack(
+            [main.astype(jnp.int32), aux.astype(jnp.int32)], axis=1)
+    else:
+        lanes = screen.hgr_masked_lanes(main)
+        z = main.astype(jnp.int32)
+        bytes_tgt = jnp.stack([z, z], axis=1)
+    return lanes, bytes_tgt
+
+
+# --- the scan -------------------------------------------------------------------
+
+def _bank_lane_ids(mode: VideoMode, bank_is_aux: bool) -> Tuple[int, int]:
+    spec = screen.spec_for_mode(mode)
+    if mode == VideoMode.DHGR:
+        return spec.bank_lanes(bank_is_aux)
+    return spec.bank_lanes(False)
+
+
+def _masked_update_lane(mode: VideoMode, lane: int, lane_vals, content):
+    spec = screen.spec_for_mode(mode)
+    if mode == VideoMode.DHGR:
+        return spec.masked_update(lane_vals, content)
+    return spec.masked_update(lane_vals, content, lane)
+
+
+def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
+    """Construct the jitted whole-movie encode function for (mode, K).
+
+    deterministic=True replaces all random tie-break nonces with zeros
+    (ties resolve to lowest index) - used for differential testing against
+    the host oracle (encoder_host.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    spec = screen.spec_for_mode(mode)
+    bits = int(spec.MASKED_BITS)
+    n_lanes = int(spec.N_LANES)
+    holes = jnp.asarray(~screen.SCREEN_HOLES)  # True where storable
+
+    def lanes_of(main, aux):
+        if mode == VideoMode.DHGR:
+            return screen.dhgr_masked_lanes(main, aux)
+        return screen.hgr_masked_lanes(main)
+
+    def all_lane_diffs(tables, cur_lanes, tgt_lanes):
+        """(32,128) diff per lane between current and target lanes."""
+        out = []
+        for l in range(n_lanes):
+            pair = (cur_lanes[..., l] << bits) + tgt_lanes[..., l]
+            out.append(jnp.take(tables[l], pair).astype(jnp.int32))
+        return out
+
+    def bank_diff(lane_diffs, bank):
+        """Interleave lane diffs into (32,256) for the active bank."""
+        if mode == VideoMode.DHGR:
+            d_main = screen.interleave_bank_lanes(lane_diffs[1], lane_diffs[3])
+            d_aux = screen.interleave_bank_lanes(lane_diffs[0], lane_diffs[2])
+            return jnp.where(bank == 1, d_aux, d_main)
+        return screen.interleave_bank_lanes(lane_diffs[0], lane_diffs[1])
+
+    def page_delta(tables, tgt_lanes_page, dw_page, content, bank):
+        """new-diff and delta for storing `content` at all 256 offsets of a
+        page (reference screen.py:525-547 / video.py:275-301).
+
+        tgt_lanes_page: (128, n_lanes); dw_page: (256,).
+        Returns (newdiff (256,), delta (256,)).
+        """
+        def lane_newdiff(l):
+            new_lane = _masked_update_lane(
+                mode, l, tgt_lanes_page[:, l], content)
+            pair = (new_lane << bits) + tgt_lanes_page[:, l]
+            return jnp.take(tables[l], pair).astype(jnp.int32)
+
+        if mode == VideoMode.DHGR:
+            nd_main = screen.interleave_bank_lanes(
+                lane_newdiff(1), lane_newdiff(3))
+            nd_aux = screen.interleave_bank_lanes(
+                lane_newdiff(0), lane_newdiff(2))
+            newdiff = jnp.where(bank == 1, nd_aux, nd_main)
+        else:
+            newdiff = screen.interleave_bank_lanes(
+                lane_newdiff(0), lane_newdiff(1))
+        return newdiff, newdiff - dw_page
+
+    def encode_scan(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
+                    step_recompute, step_nvalid, key):
+        """Run the whole-movie scan.
+
+        tables: tuple of n_lanes (N*N,) uint16 LUTs.
+        lanes_tgt: (F, 32, 128, n_lanes) int32.
+        bytes_tgt: (F, 2, 32, 256) int32.
+        step_*: (S,) schedule arrays.
+        Returns ops (S, K, 6) int32 and the final screen byte arrays.
+        """
+        S = step_frame.shape[0]
+        zero = jnp.zeros((32, 256), jnp.int32)
+        state0 = dict(main=zero, aux=zero, up_m=zero, up_a=zero,
+                      dw_m=zero, dw_a=zero)
+
+        def step(state, xs):
+            step_i, frame, bank, recompute, nvalid = xs
+            skey = jax.random.fold_in(key, step_i)
+
+            def nonce(sub, shape):
+                if deterministic:
+                    return jnp.zeros(shape, jnp.float32)
+                return jax.random.uniform(
+                    jax.random.fold_in(skey, sub), shape, jnp.float32)
+
+            tgt_lanes = lanes_tgt[frame]  # (32,128,L)
+            tgt_bytes = bytes_tgt[frame, bank]  # (32,256)
+
+            up = jnp.where(bank == 1, state["up_a"], state["up_m"])
+            dw = jnp.where(bank == 1, state["dw_a"], state["dw_m"])
+
+            def do_recompute(up, dw):
+                cur = lanes_of(state["main"], state["aux"])
+                diffs = all_lane_diffs(tables, cur, tgt_lanes)
+                d = bank_diff(diffs, bank) * holes
+                new_up = jnp.where(d == 0, 0, up) + d
+                return new_up, d
+
+            up, dw = jax.lax.cond(
+                recompute, do_recompute, lambda u, d: (u, d), up, dw)
+
+            # --- page selection: top-K pages by max priority, random ties ---
+            page_max = jnp.max(up, axis=1)  # (32,)
+            nonce_p = nonce(0, (32,))
+            page_score = page_max.astype(jnp.float32) * 256.0 + nonce_p * 255.0
+            _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
+            has_work = page_max[pages] > 0
+            op_valid = (jnp.arange(k) < nvalid)
+            real = has_work & op_valid
+
+            up_pages = up[pages]  # (K, 256)
+
+            # --- best offset per page, random tie-break -------------------
+            nonce_o = nonce(1, (k, 256))
+            off_score = up_pages.astype(jnp.float32) * 256.0 + nonce_o * 255.0
+            offset0 = jnp.argmax(off_score, axis=1)  # (K,)
+            content = tgt_bytes[pages, offset0]  # (K,)
+
+            # --- companion offsets (3 more, least added error) -------------
+            def one_page(pg, off0, ct):
+                newdiff, delta = page_delta(
+                    tables, tgt_lanes[pg], dw[pg], ct, bank)
+                cand = (delta < 0) & (up[pg] > 0) \
+                    & (jnp.arange(256) != off0)
+                nonce_c = nonce(2 + pg, (256,)) if not deterministic \
+                    else jnp.zeros((256,), jnp.float32)
+                score = jnp.where(
+                    cand,
+                    (-delta).astype(jnp.float32) * 256.0 + nonce_c * 255.0,
+                    -1.0)
+                sc3, off3 = jax.lax.top_k(score, 3)
+                acc3 = sc3 > 0
+                return newdiff, off3, acc3
+
+            newdiff_k, off3_k, acc3_k = jax.vmap(one_page)(
+                pages, offset0, content)
+
+            # padding for unaccepted companion slots: repeat primary offset
+            off3_eff = jnp.where(acc3_k, off3_k, offset0[:, None])
+
+            # --- apply: set screen bytes, priorities, diff weights ---------
+            # scatter only for real ops; redirect invalid ops to a write of
+            # the existing value (self-assign) to keep everything functional
+            all_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
+            pg_b = jnp.broadcast_to(pages[:, None], all_off.shape)
+
+            def masked_set(arr, rows, cols, vals, m):
+                old = arr[rows, cols]
+                return arr.at[rows, cols].set(jnp.where(m, vals, old))
+
+            m4 = jnp.broadcast_to(real[:, None], all_off.shape)
+            ct4 = jnp.broadcast_to(content[:, None], all_off.shape)
+            if mode == VideoMode.DHGR:
+                new_main = masked_set(state["main"], pg_b, all_off, ct4,
+                                      m4 & (bank == 0))
+                new_aux = masked_set(state["aux"], pg_b, all_off, ct4,
+                                     m4 & (bank == 1))
+            else:
+                new_main = masked_set(state["main"], pg_b, all_off, ct4, m4)
+                new_aux = state["aux"]
+
+            # priorities: primary -> 0; companions -> residual newdiff.
+            # Unaccepted companion slots are redirected to the primary offset
+            # with value 0 so that duplicate scatter indices always write the
+            # same value (a masked-out slot whose top_k index collides with
+            # the primary would otherwise nondeterministically revive the
+            # primary's just-cleared priority).
+            resid3 = jnp.take_along_axis(newdiff_k, off3_k, axis=1)
+            pri_vals = jnp.concatenate(
+                [jnp.zeros((k, 1), jnp.int32),
+                 jnp.where(acc3_k, resid3, 0)], axis=1)
+            pri_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
+            pri_mask = jnp.broadcast_to(real[:, None], pri_off.shape)
+            new_up = masked_set(up, jnp.broadcast_to(pages[:, None],
+                                                     pri_off.shape),
+                                pri_off, pri_vals, pri_mask)
+            # diff weights: primary offset zeroed only
+            new_dw = masked_set(dw, pages[:, None], offset0[:, None],
+                                jnp.zeros((k, 1), jnp.int32),
+                                real[:, None])
+
+            new_state = dict(
+                main=new_main, aux=new_aux,
+                up_m=jnp.where(bank == 1, state["up_m"], new_up),
+                up_a=jnp.where(bank == 1, new_up, state["up_a"]),
+                dw_m=jnp.where(bank == 1, state["dw_m"], new_dw),
+                dw_a=jnp.where(bank == 1, new_dw, state["dw_a"]),
+            )
+
+            # --- emit: real ops as selected; idle pages emit padding -------
+            pad_content = tgt_bytes[0, 0]
+            out_page = jnp.where(real, pages, 0)
+            out_content = jnp.where(real, content, pad_content)
+            out_off = jnp.where(real[:, None], all_off, 0)
+            op_rec = jnp.concatenate(
+                [out_page[:, None] + 32, out_content[:, None], out_off],
+                axis=1)  # (K, 6)
+            return new_state, op_rec
+
+        xs = (jnp.arange(S, dtype=jnp.int32), step_frame, step_bank,
+              step_recompute, step_nvalid)
+        final, ops = jax.lax.scan(step, state0, xs)
+        return ops, final["main"], final["aux"]
+
+    return encode_scan
+
+
+@functools.lru_cache(None)
+def _jitted_encode(mode: VideoMode, k: int, deterministic: bool):
+    import jax
+    fn = _build_encode_scan(mode, k, deterministic)
+    return jax.jit(fn)
+
+
+def encode_movie(tables, lanes_tgt, bytes_tgt, plan: MoviePlan,
+                 mode: VideoMode, seed: Optional[int] = 0):
+    """Encode a planned movie on the accelerator.
+
+    seed=None disables random tie-breaks (deterministic; for testing).
+    Returns (ops (S, K, 6) int32 device array, final main, final aux).
+    Flatten to the opcode stream with `flatten_ops`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    spec = screen.spec_for_mode(mode)
+    fn = _jitted_encode(mode, plan.k, seed is None)
+    seed = 0 if seed is None else seed
+    key = jax.random.PRNGKey(seed)
+    tables_t = tuple(tables[l] for l in range(int(spec.N_LANES)))
+    return fn(tables_t, lanes_tgt, bytes_tgt,
+              jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
+              jnp.asarray(plan.step_recompute), jnp.asarray(plan.step_nvalid),
+              key)
+
+
+def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:
+    """(S, K, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only."""
+    S, k, _ = ops.shape
+    valid = np.arange(k)[None, :] < plan.step_nvalid[:, None]
+    flat = np.asarray(ops).reshape(S * k, OP_FIELDS)
+    return flat[valid.reshape(-1)]
+
+
+def ops_to_ticks(flat_ops: np.ndarray, audio_levels: np.ndarray):
+    """Merge encoder ops with audio levels into Tick opcodes (host)."""
+    from iivision_tpu.stream.opcodes import Tick, audio_level_to_tick
+    n = len(flat_ops)
+    assert len(audio_levels) >= n
+    for i in range(n):
+        page, content, o0, o1, o2, o3 = (int(x) for x in flat_ops[i])
+        yield Tick(audio_level_to_tick(int(audio_levels[i])), page,
+                   content, (o0, o1, o2, o3))

@@ -193,42 +193,49 @@ def edit_distance_matrix_xla(mode: VideoMode, palette: Palette, lane: int,
 
 # --- Pallas fused kernel --------------------------------------------------------
 
-def _editdist_kernel_factory(L: int):
+def _editdist_kernel_factory(L: int, tile_m: int, tile_n: int):
+    import jax
     import jax.numpy as jnp
 
     def kernel(a_ref, b_ref, sub_ref, out_ref):
-        eye = jnp.arange(16, dtype=jnp.int32)
+        # One-hot encodings via 2D broadcasted iota (TPU disallows 1D iota).
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 16), 1)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (16, tile_n), 0)
 
-        def onehot(col):
-            return (col[:, None] == eye[None, :]).astype(jnp.float32)
+        def onehot_rows(col):  # (tile_m,) -> (tile_m, 16)
+            return (col[:, None] == iota_m).astype(jnp.float32)
+
+        def onehot_cols(col):  # (tile_n,) -> (16, tile_n), pre-transposed
+            return (col[None, :] == iota_n).astype(jnp.float32)
 
         sub = sub_ref[:]
         big = jnp.float32(1e9)
-        oh_a = [onehot(a_ref[:, k]) for k in range(L)]
-        oh_b = [onehot(b_ref[:, k]) for k in range(L)]
-        d_m2 = jnp.zeros(out_ref.shape, jnp.float32)
+        oh_a = [onehot_rows(a_ref[:, k]) for k in range(L)]
+        oh_bt = [onehot_cols(b_ref[:, k]) for k in range(L)]
+        d_m2 = jnp.zeros((tile_m, tile_n), jnp.float32)
         d_m1 = None
         for k in range(L):
             sub_k = jnp.dot(
                 jnp.dot(oh_a[k], sub, preferred_element_type=jnp.float32),
-                oh_b[k].T, preferred_element_type=jnp.float32)
+                oh_bt[k], preferred_element_type=jnp.float32)
             dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
             if k >= 1:
                 swap = (
-                    jnp.dot(oh_a[k], oh_b[k - 1].T,
+                    jnp.dot(oh_a[k], oh_bt[k - 1],
                             preferred_element_type=jnp.float32)
-                    * jnp.dot(oh_a[k - 1], oh_b[k].T,
+                    * jnp.dot(oh_a[k - 1], oh_bt[k],
                               preferred_element_type=jnp.float32))
                 dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST + (1.0 - swap) * big)
             d_m2 = d_m1 if d_m1 is not None else d_m2
             d_m1 = dk
-        out_ref[:] = d_m1.astype(jnp.uint16)
+        # Mosaic has no f32->u16 cast; go through int32 (exact: values < 2^16)
+        out_ref[:] = d_m1.astype(jnp.int32)
 
     return kernel
 
 
 def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
-                                tile_m: int = 512, tile_n: int = 1024):
+                                tile_m: int = 256, tile_n: int = 1024):
     """Full (N, N) uint16 distance matrix via a fused Pallas kernel.
 
     The DP state for a (tile_m, tile_n) tile of pairs lives in VMEM across
@@ -245,12 +252,12 @@ def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
     codes = jnp.asarray(codes_np)
     sub = jnp.asarray(substitute_matrix(palette).astype(np.float32))
 
-    kernel = _editdist_kernel_factory(L)
+    kernel = _editdist_kernel_factory(L, tile_m, tile_n)
 
     grid = (n // tile_m, n // tile_n)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, L), lambda i, j: (i, 0),
@@ -262,7 +269,13 @@ def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
         ],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-    )(codes, codes, sub)
+    )
+
+    @jax.jit
+    def run(codes, sub):
+        return call(codes, codes, sub).astype(jnp.uint16)
+
+    return run(codes, sub)
 
 
 # --- public API -----------------------------------------------------------------

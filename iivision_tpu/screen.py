@@ -345,11 +345,11 @@ def hgr_to_dots(masked_vals, byte_offset: int):
 # --- Whole-screen lane <-> diff helpers --------------------------------------
 
 def interleave_bank_lanes(even_vals, odd_vals):
-    """Interleave per-lane (..., 32, 128) arrays into (..., 32, 256) screen
-    page-offset order (even page offsets from even_vals, odd from odd_vals)."""
+    """Interleave per-lane (..., N) arrays into (..., 2N) screen page-offset
+    order (even page offsets from even_vals, odd from odd_vals)."""
     xp = _xp(even_vals)
     stacked = xp.stack([even_vals, odd_vals], axis=-1)
-    return stacked.reshape(stacked.shape[:-3] + (32, 256))
+    return stacked.reshape(stacked.shape[:-2] + (stacked.shape[-2] * 2,))
 
 
 def lane_pair_index(src_lanes, tgt_lanes, masked_bits: int):
