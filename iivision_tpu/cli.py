@@ -1,0 +1,70 @@
+"""Transcode CLI (parity: reference transcoder/main.py flags)."""
+
+import argparse
+
+from iivision_tpu.movie import Movie
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Transcode videos to ][-Vision format (TPU-native).")
+    parser.add_argument("input", help="Path to input video file.")
+    parser.add_argument("--output", default=None,
+                        help="Path to output video file.")
+    parser.add_argument("--max_output_mb", type=float, default=0,
+                        help="Maximum MB to output (0 = unlimited).")
+    parser.add_argument("--audio_normalization", type=float, default=None,
+                        help="Override auto-detected audio normalization.")
+    parser.add_argument("--audio_bitrate", type=int, default=14700,
+                        help="Output audio bitrate (Hz); 22500 for //gs "
+                             "2.8MHz mode.")
+    parser.add_argument("--every_n_video_frames", type=int, default=2,
+                        help="Skip input frames to lower the effective "
+                             "output frame rate.")
+    parser.add_argument("--video_mode", type=str,
+                        choices=[m.name for m in VideoMode],
+                        default=VideoMode.DHGR.name)
+    parser.add_argument("--palette", type=str,
+                        choices=[p.name for p in Palette if p.value >= 0],
+                        default=Palette.NTSC.name)
+    parser.add_argument("--dither", type=str, default="ordered",
+                        choices=["ordered", "buckels", "floyd", "atkinson",
+                                 "jarvis"],
+                        help="Frame quantization dither (ordered = batched "
+                             "TPU path; others = native error diffusion).")
+    parser.add_argument("--k", type=int, default=8,
+                        help="Encoder page-parallelism (1 = strict greedy "
+                             "order).")
+    parser.add_argument("--seed", type=int, default=0,
+                        help="Tie-break RNG seed (reproducible streams).")
+    return parser
+
+
+def main(args=None):
+    args = build_parser().parse_args(args)
+    out = args.output or (".".join(
+        args.input.split(".")[:-1] + ["a2m"]))
+    m = Movie(
+        args.input,
+        every_n_video_frames=args.every_n_video_frames,
+        audio_bitrate=args.audio_bitrate,
+        audio_normalization=args.audio_normalization,
+        max_bytes_out=int(1024 * 1024 * args.max_output_mb) or None,
+        video_mode=VideoMode[args.video_mode],
+        palette=Palette[args.palette],
+        dither_mode=args.dither,
+        k=args.k,
+        seed=args.seed,
+    )
+    print("Palette %s" % args.palette)
+    print("Input frame rate = %f" % m.frames.input_frame_rate)
+    stats = m.transcode(out)
+    print("Wrote %s" % out)
+    for k in ("n_ops", "movie_seconds", "total_s", "realtime_x"):
+        print("%s = %s" % (k, stats[k]))
+
+
+if __name__ == "__main__":
+    main()

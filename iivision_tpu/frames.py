@@ -1,0 +1,205 @@
+"""Frame ingestion: video decode -> resize -> (D)HGR target memory maps.
+
+Replaces reference transcoder/frame_grabber.py (skvideo/ffmpeg decode, PIL
+Lanczos resize to 280x192, bmp2dhr subprocess per frame, background worker
+thread + disk cache).  Sources supported natively: numpy arrays / .npy
+stacks, animated GIFs and image sequences (PIL), video files (OpenCV when
+built with a decoder, else ffmpeg subprocess).  Quantization runs batched in
+JAX (ops/dither.py) instead of one subprocess per frame; a per-movie .npz
+target cache mirrors the reference's frame-cache resume behaviour
+(reference frame_grabber.py:47-51, 69-74).
+"""
+
+import hashlib
+import os
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from iivision_tpu.ops import dither
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+TARGET_W, TARGET_H = 140, 192
+
+
+@dataclass
+class MovieFrames:
+    """Encoded-frame targets plus movie timing metadata."""
+    targets_main: np.ndarray  # (F_enc, 32, 256) uint8
+    targets_aux: Optional[np.ndarray]  # (F_enc, 32, 256) uint8 or None
+    n_frames_total: int  # total pulled frames (before every_n skipping)
+    input_frame_rate: float
+
+
+def iter_video_frames(path: str) -> Tuple[Iterator[np.ndarray], float]:
+    """Yield RGB uint8 frames from a video/gif/npy source, with frame rate."""
+    lower = path.lower()
+    if lower.endswith((".npy", ".npz")):
+        data = np.load(path)
+        if isinstance(data, np.lib.npyio.NpzFile):
+            arr = data["frames"]
+            rate = float(data["frame_rate"]) if "frame_rate" in data else 30.0
+        else:
+            arr, rate = data, 30.0
+        return iter(arr), rate
+    if lower.endswith((".gif", ".png", ".jpg", ".jpeg", ".bmp")):
+        from PIL import Image, ImageSequence
+        im = Image.open(path)
+        dur = im.info.get("duration", 100) or 100
+        rate = 1000.0 / float(dur)
+
+        def gen():
+            for fr in ImageSequence.Iterator(im):
+                yield np.asarray(fr.convert("RGB"))
+        return gen(), rate
+    # video container: OpenCV, else ffmpeg pipe
+    try:
+        import cv2
+        cap = cv2.VideoCapture(path)
+        if cap.isOpened():
+            rate = cap.get(cv2.CAP_PROP_FPS) or 30.0
+
+            def gen():
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    yield frame[:, :, ::-1]  # BGR -> RGB
+                cap.release()
+            return gen(), float(rate)
+    except ImportError:
+        pass
+    return _ffmpeg_frames(path)
+
+
+def _ffmpeg_frames(path: str):
+    import json
+    import shutil
+    import subprocess
+    if shutil.which("ffprobe") is None:
+        raise RuntimeError("No decoder available for %s" % path)
+    probe = json.loads(subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0",
+         "-show_entries", "stream=width,height,r_frame_rate",
+         "-of", "json", path], check=True, capture_output=True).stdout)
+    st = probe["streams"][0]
+    w, h = int(st["width"]), int(st["height"])
+    num, den = st["r_frame_rate"].split("/")
+    rate = float(num) / float(den)
+    proc = subprocess.Popen(
+        ["ffmpeg", "-v", "error", "-i", path, "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-"], stdout=subprocess.PIPE)
+
+    def gen():
+        frame_bytes = w * h * 3
+        while True:
+            buf = proc.stdout.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            yield np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+        proc.stdout.close()
+        proc.wait()
+    return gen(), rate
+
+
+def resize_frame(rgb: np.ndarray) -> np.ndarray:
+    """Lanczos resize to the 140x192 DHGR pixel grid (reference resizes to
+    280x192, frame_grabber.py:75; bmp2dhr then quantizes at 140px)."""
+    from PIL import Image
+    im = Image.fromarray(np.asarray(rgb, dtype=np.uint8))
+    return np.asarray(
+        im.resize((TARGET_W, TARGET_H), resample=Image.LANCZOS),
+        dtype=np.uint8)
+
+
+import functools
+
+
+@functools.lru_cache(None)
+def _jit_quantize(mode: VideoMode, palette: Palette):
+    """Fused, jitted quantize + pack for a whole frame batch (one device
+    round-trip instead of one eager dispatch per op)."""
+    import jax
+
+    if mode == VideoMode.DHGR:
+        def f(rgb):
+            codes = dither.quantize_ordered(rgb, palette)
+            return dither.dhgr_codes_to_memory(codes)
+    else:
+        def f(rgb):
+            return dither.quantize_hgr(rgb, palette)
+    return jax.jit(f)
+
+
+def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:
+    base = os.path.splitext(path)[0]
+    tag = "%s_%s_n%d_%s" % (mode.name, palette.name, every_n, dither_name)
+    return "%s.iiv_%s.npz" % (base, tag)
+
+
+def ingest(source, mode: VideoMode, palette: Palette,
+           every_n_video_frames: int = 1,
+           dither_mode: str = "ordered",
+           frame_rate: Optional[float] = None,
+           cache: bool = True) -> MovieFrames:
+    """Decode + quantize a movie into encoder targets.
+
+    source: path, or (F, H, W, 3) uint8 array (frame_rate then required).
+    """
+    if isinstance(source, np.ndarray):
+        frames_iter, rate = iter(source), (frame_rate or 30.0)
+        cache_file = None
+    else:
+        frames_iter, rate = iter_video_frames(source)
+        if frame_rate:
+            rate = frame_rate
+        cache_file = _cache_path(
+            source, mode, palette, every_n_video_frames, dither_mode) \
+            if cache else None
+        if cache_file and os.path.exists(cache_file):
+            data = np.load(cache_file)
+            return MovieFrames(
+                targets_main=data["main"],
+                targets_aux=(data["aux"] if "aux" in data else None),
+                n_frames_total=int(data["n_total"]),
+                input_frame_rate=float(data["rate"]))
+
+    mains, auxes = [], []
+    n_total = 0
+    batch = []
+    for idx, frame in enumerate(frames_iter):
+        n_total += 1
+        if (idx % every_n_video_frames) != 0:
+            continue
+        if frame.shape[:2] != (TARGET_H, TARGET_W):
+            frame = resize_frame(frame)
+        batch.append(frame)
+    if not batch:
+        raise ValueError("No frames decoded from source")
+
+    rgb = np.stack(batch).astype(np.float32)  # (F_enc, 192, 140, 3)
+    if mode == VideoMode.DHGR:
+        if dither_mode == "ordered":
+            main, aux = _jit_quantize(VideoMode.DHGR, palette)(rgb)
+            main, aux = np.asarray(main), np.asarray(aux)
+        else:
+            codes = np.stack([
+                dither.quantize_error_diffusion(f, palette,
+                                                kernel=dither_mode)
+                for f in rgb])
+            main, aux = dither.dhgr_codes_to_memory(codes)
+            main, aux = np.asarray(main), np.asarray(aux)
+    else:
+        main = np.asarray(_jit_quantize(VideoMode.HGR, palette)(rgb))
+        aux = None
+
+    out = MovieFrames(targets_main=main, targets_aux=aux,
+                      n_frames_total=n_total, input_frame_rate=rate)
+    if cache_file:
+        payload = dict(main=main, n_total=n_total, rate=rate)
+        if aux is not None:
+            payload["aux"] = aux
+        np.savez_compressed(cache_file, **payload)
+    return out

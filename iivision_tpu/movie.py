@@ -1,0 +1,163 @@
+"""Top-level transcoder: multiplex audio + video into an `.a2m` stream.
+
+Orchestrates the full pipeline (reference transcoder/movie.py + main.py):
+ingest frames (frames.py) -> build/load edit-distance tables (ops/editdist)
+-> plan the opcode schedule (encoder.plan_movie) -> run the whole-movie
+encode scan on the accelerator -> merge with audio levels -> emit the framed
+byte stream (stream/framing.py).
+"""
+
+import os
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+from iivision_tpu import audio as audio_mod
+from iivision_tpu import encoder, frames
+from iivision_tpu.ops import editdist
+from iivision_tpu.palettes import Palette
+from iivision_tpu.stream.framing import StreamFramer
+from iivision_tpu.stream.opcodes import Header
+from iivision_tpu.video_mode import VideoMode
+
+
+def get_tables(mode: VideoMode, palette: Palette,
+               data_dir: Optional[str] = None,
+               backend: str = "auto"):
+    """Load cached edit-distance LUTs or build them on-device.
+
+    Building takes seconds on TPU (vs the reference's ~90 CPU-minutes,
+    reference README.md:61-67); an existing reference-layout npz (drop-in
+    compatible with the reference's data files) is used when present.
+    """
+    import jax.numpy as jnp
+
+    path = editdist.table_path(mode, palette, data_dir)
+    if os.path.exists(path):
+        return jnp.asarray(editdist.load_tables(mode, palette, data_dir))
+    return editdist.build_tables(mode, palette, backend=backend)
+
+
+class Movie:
+    def __init__(
+            self,
+            filename: Optional[str] = None,
+            every_n_video_frames: int = 1,
+            audio_bitrate: int = 14700,
+            audio_normalization: Optional[float] = None,
+            max_bytes_out: Optional[int] = None,
+            video_mode: VideoMode = VideoMode.DHGR,
+            palette: Palette = Palette.NTSC,
+            dither_mode: str = "ordered",
+            k: int = 8,
+            seed: int = 0,
+            frames_source=None,
+            audio_source: Optional[audio_mod.Audio] = None,
+            tables=None,
+            data_dir: Optional[str] = None,
+    ):
+        self.filename = filename
+        self.every_n_video_frames = every_n_video_frames
+        self.max_bytes_out = max_bytes_out
+        self.video_mode = video_mode
+        self.palette = palette
+        self.dither_mode = dither_mode
+        self.k = k
+        self.seed = seed
+        self.timings = {}
+
+        t0 = time.time()
+        self.frames = frames.ingest(
+            frames_source if frames_source is not None else filename,
+            video_mode, palette,
+            every_n_video_frames=every_n_video_frames,
+            dither_mode=dither_mode)
+        self.timings["frames_s"] = time.time() - t0
+
+        t0 = time.time()
+        if audio_source is not None:
+            self.audio = audio_source
+        else:
+            try:
+                self.audio = audio_mod.Audio(
+                    filename, bitrate=audio_bitrate,
+                    normalization=audio_normalization)
+            except Exception:
+                # no audio track: silent stream covering the whole video
+                seconds = (self.frames.n_frames_total
+                           / self.frames.input_frame_rate)
+                self.audio = audio_mod.Audio(
+                    data=np.zeros(int(seconds * audio_bitrate) + 1,
+                                  np.float32),
+                    rate=audio_bitrate, bitrate=audio_bitrate,
+                    normalization=1.0)
+        self.timings["audio_s"] = time.time() - t0
+
+        t0 = time.time()
+        self.tables = (tables if tables is not None
+                       else get_tables(video_mode, palette, data_dir))
+        self.timings["tables_s"] = time.time() - t0
+
+    def encode_ops(self):
+        """Run the encoder; returns (flat ops (n,6), audio levels (n,))."""
+        t0 = time.time()
+        levels = np.asarray(self.audio.levels())
+        plan, n_enc = encoder.plan_movie(
+            n_frames=self.frames.n_frames_total,
+            n_audio_ticks=len(levels),
+            input_frame_rate=self.frames.input_frame_rate,
+            ticks_per_second=self.audio.sample_rate,
+            every_n_video_frames=self.every_n_video_frames,
+            mode=self.video_mode, k=self.k)
+        assert n_enc <= len(self.frames.targets_main), (
+            n_enc, len(self.frames.targets_main))
+        lanes_tgt, bytes_tgt = encoder.prepare_targets(
+            self.frames.targets_main[:max(n_enc, 1)],
+            None if self.frames.targets_aux is None
+            else self.frames.targets_aux[:max(n_enc, 1)],
+            self.video_mode)
+        self.timings["plan_s"] = time.time() - t0
+
+        t0 = time.time()
+        ops_dev, fin_main, fin_aux = encoder.encode_movie(
+            self.tables, lanes_tgt, bytes_tgt, plan, self.video_mode,
+            seed=self.seed)
+        flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
+        self.timings["encode_s"] = time.time() - t0
+        self.final_main = np.asarray(fin_main)
+        self.final_aux = np.asarray(fin_aux)
+        self.plan = plan
+        return flat, levels[:plan.n_ops]
+
+    def emit_stream(self) -> Iterator[bytes]:
+        """Full byte stream for the movie (header, ticks, ACKs, padding)."""
+        flat, levels = self.encode_ops()
+        framer = StreamFramer(self.video_mode,
+                              max_bytes_out=self.max_bytes_out)
+
+        def op_iter():
+            yield Header(self.video_mode)
+            yield from encoder.ops_to_ticks(flat, levels)
+
+        yield from framer.emit_stream(op_iter())
+
+    def transcode(self, out_path: str) -> dict:
+        """Encode to a file (vectorized emission); returns timing stats."""
+        from iivision_tpu.stream.emit_fast import emit_stream_fast
+
+        flat, levels = self.encode_ops()
+        t0 = time.time()
+        data = emit_stream_fast(flat, levels, self.video_mode,
+                                max_bytes_out=self.max_bytes_out)
+        with open(out_path, "wb") as f:
+            f.write(data)
+        self.timings["emit_s"] = time.time() - t0
+        n_ops = self.plan.n_ops
+        movie_seconds = n_ops / self.audio.sample_rate
+        total = sum(self.timings.values())
+        self.timings.update(
+            n_ops=n_ops, movie_seconds=movie_seconds,
+            total_s=total,
+            realtime_x=movie_seconds / total if total > 0 else 0.0)
+        return dict(self.timings)

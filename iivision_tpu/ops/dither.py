@@ -1,0 +1,257 @@
+"""Image -> (D)HGR screen-memory quantization and dithering.
+
+Replaces the reference's external bmp2dhr C++ binary (invoked per frame via
+subprocess, reference transcoder/frame_grabber.py:78-83, 103-108) with two
+native paths:
+
+- a fully parallel ordered (Bayer) dither in JAX - batched over frames,
+  TPU-resident, used by the high-throughput pipeline;
+- a serpentine error-diffusion dither in C++ (sim/../csrc/dither.cpp via
+  ctypes) in the spirit of bmp2dhr's Buckels "D9" kernel, for quality parity
+  with the reference's cached frames.
+
+Colour model: quantization happens in the 140x192 DHGR pixel grid (or the
+280x192 HGR dot grid collapsed to 140 colour pixels).  A DHGR pixel at
+column x occupies dots 4x..4x+3; the NTSC phase at dot 4x is 0, so the
+pixel's 4-bit nibble in the dot stream *is* its colour code in the palette
+table's code space (see screen.py DHGRBitmap layout and colours.py phases).
+Packing to AUX/MAIN memory follows the 7-dots-per-byte interleave
+(reference screen.py:926-947).
+"""
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+from iivision_tpu import palettes, screen
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+DHGR_W, DHGR_H = 140, 192
+HGR_W = 280
+
+# HGR nominal colours reachable per palette bit (codes in HGR code space):
+# palette off: black, violet, green, white; on: black, med_blue, orange, white
+HGR_COLOURS_P0 = (0b0000, 0b0011, 0b1100, 0b1111)
+HGR_COLOURS_P1 = (0b0000, 0b0110, 0b1001, 0b1111)
+
+
+# --- Bayer ordered dithering (JAX, batched) -----------------------------------
+
+def _bayer_matrix(n: int = 8) -> np.ndarray:
+    m = np.array([[0.0]])
+    while m.shape[0] < n:
+        k = m.shape[0]
+        m = np.block([[4 * m + 0, 4 * m + 2], [4 * m + 3, 4 * m + 1]])
+    return (m + 0.5) / (m.size)  # (n, n) in (0, 1)
+
+
+@functools.lru_cache(None)
+def _palette_lab(palette: Palette) -> np.ndarray:
+    return palettes.srgb_to_lab(palettes.palette_rgb_array(palette))
+
+
+def quantize_ordered(rgb, palette: Palette,
+                     strength: float = 24.0):
+    """Ordered-dither quantization of (..., 192, 140, 3) RGB to colour codes.
+
+    Adds a Bayer threshold perturbation to the pixel values, then picks the
+    nearest palette colour in Lab space.  Pure jax.numpy; batched.
+    Returns (..., 192, 140) int32 colour codes (HGR code space).
+    """
+    import jax.numpy as jnp
+
+    bayer = jnp.asarray(_bayer_matrix(8), dtype=jnp.float32)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    tiled = jnp.tile(bayer, (h // 8 + 1, w // 8 + 1))[:h, :w]
+    perturbed = rgb.astype(jnp.float32) + (tiled[..., None] - 0.5) * strength
+    perturbed = jnp.clip(perturbed, 0.0, 255.0)
+
+    lab_pix = _srgb_to_lab_jnp(perturbed)
+    lab_pal = jnp.asarray(_palette_lab(palette), dtype=jnp.float32)
+    d = jnp.sum(
+        (lab_pix[..., None, :] - lab_pal[None, :, :]) ** 2, axis=-1)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def _srgb_to_lab_jnp(rgb255):
+    import jax.numpy as jnp
+    v = rgb255 / 255.0
+    lin = jnp.where(v <= 0.04045, v / 12.92,
+                    ((v + 0.055) / 1.055) ** 2.4)
+    m = jnp.asarray(palettes._SRGB_TO_XYZ.T, dtype=jnp.float32)
+    xyz = lin @ m
+    t = xyz / jnp.asarray(palettes._D65_WHITE, dtype=jnp.float32)
+    eps, kappa = 216.0 / 24389.0, 24389.0 / 27.0
+    f = jnp.where(t > eps, jnp.cbrt(t), (kappa * t + 16.0) / 116.0)
+    L = 116.0 * f[..., 1] - 16.0
+    a = 500.0 * (f[..., 0] - f[..., 1])
+    b = 200.0 * (f[..., 1] - f[..., 2])
+    return jnp.stack([L, a, b], axis=-1)
+
+
+# --- error diffusion (native C++) ----------------------------------------------
+
+def quantize_error_diffusion(rgb: np.ndarray, palette: Palette,
+                             kernel: str = "buckels") -> np.ndarray:
+    """Serpentine error-diffusion quantization (host, C++).
+
+    rgb: (192, 140, 3) float/uint8.  Returns (192, 140) int32 colour codes.
+    """
+    from iivision_tpu.sim import native
+
+    return native.dither(np.ascontiguousarray(rgb, dtype=np.float32),
+                         palettes.palette_rgb_array(palette), kernel)
+
+
+# --- code grid -> screen memory -------------------------------------------------
+
+def dhgr_codes_to_memory(codes):
+    """(..., 192, 140) colour codes -> (main, aux) (..., 32, 256) uint8.
+
+    Pixel x's nibble fills dots 4x..4x+3 (LSB-first); dots pack 7-per-byte
+    alternating AUX/MAIN (reference screen.py:819-947); rows map to pages
+    and offsets via the interleaved HGR address layout (screen.py:16-69).
+    Works for numpy and jax.numpy inputs.
+    """
+    xp = screen._xp(codes)
+    c = codes.astype(xp.int32)
+    # dots: (..., 192, 560); dot 4x+k = bit k of code x
+    bits = xp.stack([(c >> k) & 1 for k in range(4)],
+                    axis=-1).reshape(c.shape[:-1] + (DHGR_W * 4,))
+    groups = bits.reshape(bits.shape[:-1] + (80, 7))
+    weights = xp.asarray([1 << k for k in range(7)], dtype=xp.int32)
+    by = (groups * weights).sum(axis=-1).astype(xp.uint8)  # (...,192,80)
+    aux_cols = by[..., 0::2]  # (..., 192, 40)
+    main_cols = by[..., 1::2]
+
+    page = screen.X_Y_TO_PAGE.astype(np.int32)  # (192, 40)
+    offset = screen.X_Y_TO_OFFSET.astype(np.int32)
+    flat_idx = xp.asarray(page * 256 + offset)  # (192, 40)
+
+    def scatter(cols):
+        out_shape = cols.shape[:-2] + (32 * 256,)
+        if xp is np:
+            out = np.zeros(out_shape, dtype=np.uint8)
+            np.put_along_axis(
+                out.reshape(out_shape),
+                np.broadcast_to(flat_idx.reshape(-1), cols.shape[:-2]
+                                + (192 * 40,)),
+                cols.reshape(cols.shape[:-2] + (192 * 40,)), axis=-1)
+            return out.reshape(cols.shape[:-2] + (32, 256))
+        import jax.numpy as jnp
+        out = jnp.zeros(out_shape, dtype=jnp.uint8)
+        idx = flat_idx.reshape(-1)
+        vals = cols.reshape(cols.shape[:-2] + (192 * 40,))
+        out = out.at[..., idx].set(vals)
+        return out.reshape(cols.shape[:-2] + (32, 256))
+
+    return scatter(main_cols), scatter(aux_cols)
+
+
+def hgr_desired_dots(codes):
+    """(..., 192, 140) colour codes -> desired 14M-grid dots (..., 192, 560).
+
+    HGR data bits each last two 14M dots; the NTSC colour window slides over
+    the 560-dot grid where the phase at dot d is d % 4.  A 140-grid pixel x
+    owns dots 4x..4x+3 and a solid run of colour `code` shows bit (d % 4) of
+    the code at dot d - identical to the DHGR dot expansion.
+    """
+    xp = screen._xp(codes)
+    c = codes.astype(xp.int32)
+    return xp.stack([(c >> k) & 1 for k in range(4)],
+                    axis=-1).reshape(c.shape[:-1] + (DHGR_W * 4,))
+
+
+def hgr_dots_to_bytes(dots):
+    """Fit screen bytes (palette bit + 7 data bits) to a desired dot row.
+
+    For each byte b covering dots 14b..14b+13:
+      palette off: data bit k drives dots 14b+2k, 14b+2k+1;
+      palette on:  data bit k drives dots 14b+2k+1, 14b+2k+2.
+    Each byte independently picks the palette bit minimising dot mismatches
+    (ties prefer palette off), with data bits the majority of their dot pair.
+    Returns (..., 192, 40) uint8 screen bytes.
+    """
+    xp = screen._xp(dots)
+    d = dots.astype(xp.int32)
+    pad = xp.concatenate([d, xp.zeros(d.shape[:-1] + (1,), xp.int32)],
+                         axis=-1)  # dot 560 for the last byte's p=1 fit
+    grp = pad[..., :560].reshape(pad.shape[:-1] + (40, 14))
+
+    def fit(a, b):
+        """Majority bit for a dot pair (tie -> first dot) and its cost."""
+        s = a + b
+        data = xp.where(s == 1, a, (s > 1).astype(xp.int32))
+        cost = ((a != data).astype(xp.int32)
+                + (b != data).astype(xp.int32)).sum(axis=-1)
+        return data, cost
+
+    # palette off: pairs (0,1),(2,3),...,(12,13)
+    data0, cost0 = fit(grp[..., 0::2], grp[..., 1::2])
+
+    # palette on: pairs (1,2),(3,4),...,(13,14): one dot into the next byte
+    win1 = pad[..., 1:561].reshape(pad.shape[:-1] + (40, 14))
+    data1, cost1 = fit(win1[..., 0::2], win1[..., 1::2])
+    # the uncovered dot 14b under palette-on counts as a mismatch if set
+    cost1 = cost1 + grp[..., 0]
+
+    use1 = (cost1 < cost0).astype(xp.int32)
+    weights = xp.asarray([1 << k for k in range(7)], dtype=xp.int32)
+    byte0 = (data0 * weights).sum(axis=-1)
+    byte1 = (data1 * weights).sum(axis=-1) | 0x80
+    return xp.where(use1 == 1, byte1, byte0).astype(xp.uint8)
+
+
+def hgr_bytes_to_memory(by):
+    """(..., 192, 40) screen bytes -> (..., 32, 256) main memory map."""
+    xp = screen._xp(by)
+    page = screen.X_Y_TO_PAGE.astype(np.int32)
+    offset = screen.X_Y_TO_OFFSET.astype(np.int32)
+    flat_idx = (page * 256 + offset).reshape(-1)
+    vals = by.reshape(by.shape[:-2] + (192 * 40,))
+    if xp is np:
+        out = np.zeros(by.shape[:-2] + (32 * 256,), dtype=np.uint8)
+        np.put_along_axis(
+            out, np.broadcast_to(flat_idx, vals.shape), vals, axis=-1)
+        return out.reshape(by.shape[:-2] + (32, 256))
+    import jax.numpy as jnp
+    out = jnp.zeros(by.shape[:-2] + (32 * 256,), dtype=jnp.uint8)
+    out = out.at[..., jnp.asarray(flat_idx)].set(vals)
+    return out.reshape(by.shape[:-2] + (32, 256))
+
+
+def quantize_hgr(rgb, palette: Palette):
+    """HGR quantization: ordered dither over the 6 HGR colours, desired-dot
+    fitting of palette + data bits.  (..., 192, 140, 3) -> main memory."""
+    import jax.numpy as jnp
+
+    hgr_codes = sorted(set(HGR_COLOURS_P0) | set(HGR_COLOURS_P1))
+    lab_pal = jnp.asarray(_palette_lab(palette), dtype=jnp.float32)
+    bayer = jnp.asarray(_bayer_matrix(8), dtype=jnp.float32)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    tiled = jnp.tile(bayer, (h // 8 + 1, w // 8 + 1))[:h, :w]
+    pert = jnp.clip(
+        rgb.astype(jnp.float32) + (tiled[..., None] - 0.5) * 24.0, 0, 255)
+    lab_pix = _srgb_to_lab_jnp(pert)
+    pal6 = lab_pal[jnp.asarray(hgr_codes)]
+    dist = jnp.sum((lab_pix[..., None, :] - pal6[None, :, :]) ** 2, axis=-1)
+    codes = jnp.asarray(hgr_codes)[jnp.argmin(dist, axis=-1)]
+    dots = hgr_desired_dots(codes)
+    return hgr_bytes_to_memory(hgr_dots_to_bytes(dots))
+
+
+def frame_to_memory(rgb, mode: VideoMode, palette: Palette,
+                    dither: str = "ordered"):
+    """One RGB frame (192, 140, 3) -> (main, aux|None) memory maps."""
+    if mode == VideoMode.DHGR:
+        if dither == "ordered":
+            codes = quantize_ordered(rgb, palette)
+        else:
+            codes = quantize_error_diffusion(np.asarray(rgb), palette,
+                                             kernel=dither)
+        main, aux = dhgr_codes_to_memory(codes)
+        return main, aux
+    main = quantize_hgr(rgb, palette)
+    return main, None

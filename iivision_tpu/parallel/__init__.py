@@ -1,0 +1,4 @@
+"""Multi-chip scale-out: device meshes and sharded batch transcode."""
+
+from iivision_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, encode_movies_batch, shard_batch)

@@ -1,0 +1,123 @@
+"""Device-mesh scale-out for batch transcoding.
+
+The reference's only parallelism is a single frame-conversion worker thread
+(reference transcoder/frame_grabber.py:66-130); transcode itself is strictly
+sequential Python.  Here the whole-movie encode scan (encoder.py) is
+batched with `vmap` and sharded over a `jax.sharding.Mesh` - movies are
+independent, so data parallelism over the batch axis scales linearly across
+chips with zero collectives on the hot path; the edit-distance LUTs are
+replicated (they are read-only gather tables).
+
+Tables can also be *generated* sharded: `editdist` matmul blocks partition
+naturally over the row axis of the pair matrix (see
+build_tables_sharded).
+"""
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+from iivision_tpu import encoder, screen
+from iivision_tpu.video_mode import VideoMode
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "movies"):
+    import jax
+    from jax.sharding import Mesh
+
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
+def shard_batch(x, mesh, axis: str = "movies"):
+    """Place a batch-leading array sharded over the mesh axis."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(mesh, P(axis)))
+
+
+def replicate(x, mesh):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+@functools.lru_cache(None)
+def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
+    import jax
+
+    scan = encoder._build_encode_scan(mode, k, deterministic)
+
+    def one(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
+            step_recompute, step_nvalid, key):
+        return scan(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
+                    step_recompute, step_nvalid, key)
+
+    batched = jax.vmap(one, in_axes=(None, 0, 0, None, None, None, None, 0))
+    return jax.jit(batched)
+
+
+def encode_movies_batch(tables, lanes_tgt_b, bytes_tgt_b,
+                        plan: encoder.MoviePlan, mode: VideoMode,
+                        seeds, mesh=None):
+    """Encode a batch of equal-schedule movies, sharded over the mesh.
+
+    lanes_tgt_b: (B, F, 32, 128, L); bytes_tgt_b: (B, F, 2, 32, 256);
+    seeds: (B,) ints.  All movies share `plan` (same tick count and frame
+    schedule - e.g. fixed-length clips); for mixed-length batches group by
+    plan shape.  Returns (ops (B, S, K, 6), final main, final aux).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    spec = screen.spec_for_mode(mode)
+    fn = _jitted_batch_encode(mode, plan.k, False)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+
+    if mesh is not None:
+        lanes_tgt_b = shard_batch(lanes_tgt_b, mesh)
+        bytes_tgt_b = shard_batch(bytes_tgt_b, mesh)
+        keys = shard_batch(keys, mesh)
+        tables = replicate(jnp.asarray(tables), mesh)
+
+    tables_t = tuple(tables[l] for l in range(int(spec.N_LANES)))
+    return fn(tables_t, lanes_tgt_b, bytes_tgt_b,
+              jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
+              jnp.asarray(plan.step_recompute),
+              jnp.asarray(plan.step_nvalid), keys)
+
+
+def build_tables_sharded(mode: VideoMode, palette, mesh,
+                         axis: str = "movies"):
+    """Edit-distance table generation sharded over the mesh.
+
+    The (N, N) pair matrix row-blocks are independent; sharding the row axis
+    of the code list partitions the DP matmuls across chips with no
+    communication until the final all-gather implied by the output sharding.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from iivision_tpu.ops import editdist
+
+    spec = screen.spec_for_mode(mode)
+    sub = jnp.asarray(editdist.substitute_matrix(palette).astype(np.float32))
+    mats = []
+    for lane in range(int(spec.N_LANES)):
+        codes = jnp.asarray(
+            editdist.lane_pixel_codes(mode, lane).astype(np.int32))
+        rows = jax.device_put(codes, NamedSharding(mesh, P(axis, None)))
+        cols = jax.device_put(codes, NamedSharding(mesh, P()))
+
+        @jax.jit
+        def one(rows, cols):
+            return editdist.dp_distance_tile(rows, cols, sub).astype(
+                jnp.uint16)
+
+        mats.append(one(rows, cols).reshape(-1))
+    return jnp.stack(mats)

@@ -1,0 +1,44 @@
+"""Stream server: serves an `.a2m` file over TCP to the Apple II player.
+
+Parity: reference server/server.py (TCPServer on :1977, whole-file sendall;
+flow control is TCP backpressure against the player's 2KB ACK pacing).
+"""
+
+import argparse
+import socketserver
+
+
+def build_handler(filename: str, chunk: int = 64 * 1024):
+    class ChunkHandler(socketserver.BaseRequestHandler):
+        def handle(self):
+            print("Connection from %s" % (self.client_address,))
+            with open(filename, "rb") as f:
+                while True:
+                    data = f.read(chunk)
+                    if not data:
+                        break
+                    self.request.sendall(data)
+            print("Stream complete")
+    return ChunkHandler
+
+
+def serve(filename: str, host: str = "0.0.0.0", port: int = 1977):
+    with socketserver.TCPServer((host, port),
+                                build_handler(filename)) as server:
+        server.allow_reuse_address = True
+        print("Serving %s on %s:%d" % (filename, host, port))
+        server.serve_forever()
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(
+        description="Serve a ][-Vision .a2m stream over TCP.")
+    parser.add_argument("input", help="Path to .a2m file.")
+    parser.add_argument("--port", type=int, default=1977)
+    parser.add_argument("--host", default="0.0.0.0")
+    a = parser.parse_args(args)
+    serve(a.input, a.host, a.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+"""Playback verification: native player VM + stream validation."""
+
+from iivision_tpu.sim.player_vm import PlayerVM, DecodeResult  # noqa: F401

@@ -1,0 +1,118 @@
+// Serpentine error-diffusion dithering to a 16-colour palette.
+//
+// Native replacement for the quantize+dither stage of the external bmp2dhr
+// binary the reference shells out to per frame (reference transcoder/
+// frame_grabber.py:78-83: "D9" Buckels dither).  bmp2dhr's exact kernel is
+// defined only by its own C++ source, which is not vendored; this implements
+// the classic serpentine kernels (Floyd-Steinberg, Atkinson, Jarvis) with
+// redmean-weighted RGB nearest-colour matching, which reaches comparable
+// perceptual quality on the same palettes.
+//
+// Build: g++ -O3 -shared -fPIC dither.cpp -o libdither.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Kernel {
+  // (dy, dx, weight/denom)
+  int n;
+  int dy[12];
+  int dx[12];
+  float w[12];
+};
+
+// Floyd-Steinberg: right 7/16, down-left 3/16, down 5/16, down-right 1/16
+const Kernel kFS = {4, {0, 1, 1, 1}, {1, -1, 0, 1},
+                    {7.f / 16, 3.f / 16, 5.f / 16, 1.f / 16}};
+// Atkinson: 6 neighbours at 1/8 (diffuses 3/4 of error)
+const Kernel kAtkinson = {6, {0, 0, 1, 1, 1, 2}, {1, 2, -1, 0, 1, 0},
+                          {1.f / 8, 1.f / 8, 1.f / 8, 1.f / 8, 1.f / 8,
+                           1.f / 8}};
+// Jarvis-Judice-Ninke
+const Kernel kJarvis = {12,
+                        {0, 0, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2},
+                        {1, 2, -2, -1, 0, 1, 2, -2, -1, 0, 1, 2},
+                        {7.f / 48, 5.f / 48, 3.f / 48, 5.f / 48, 7.f / 48,
+                         5.f / 48, 3.f / 48, 1.f / 48, 3.f / 48, 5.f / 48,
+                         3.f / 48, 1.f / 48}};
+
+inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+inline int nearest(const float* pal, int n_pal, float r, float g, float b) {
+  int best = 0;
+  float bestd = 1e30f;
+  for (int i = 0; i < n_pal; ++i) {
+    float dr = r - pal[i * 3];
+    float dg = g - pal[i * 3 + 1];
+    float db = b - pal[i * 3 + 2];
+    // redmean-weighted RGB distance
+    float rm = (r + pal[i * 3]) * 0.5f;
+    float d = (2.f + rm / 256.f) * dr * dr + 4.f * dg * dg +
+              (2.f + (255.f - rm) / 256.f) * db * db;
+    if (d < bestd) {
+      bestd = d;
+      best = i;
+    }
+  }
+  return best;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb: (h, w, 3) float32 0..255; pal: (n_pal, 3); allowed: n_pal 0/1 flags
+// (nullptr = all allowed); out: (h, w) int32 palette indices.
+// kernel: 0=floyd, 1=atkinson, 2=jarvis
+void dither_ed(const float* rgb, int h, int w, const float* pal, int n_pal,
+               const uint8_t* allowed, int kernel, int32_t* out) {
+  const Kernel& K = kernel == 1 ? kAtkinson : (kernel == 2 ? kJarvis : kFS);
+  float* buf = new float[(size_t)h * w * 3];
+  std::memcpy(buf, rgb, sizeof(float) * (size_t)h * w * 3);
+
+  float pal_f[64 * 3];
+  int map[64];
+  int n_eff = 0;
+  for (int i = 0; i < n_pal && i < 64; ++i) {
+    if (allowed == nullptr || allowed[i]) {
+      pal_f[n_eff * 3] = pal[i * 3];
+      pal_f[n_eff * 3 + 1] = pal[i * 3 + 1];
+      pal_f[n_eff * 3 + 2] = pal[i * 3 + 2];
+      map[n_eff] = i;
+      ++n_eff;
+    }
+  }
+
+  for (int y = 0; y < h; ++y) {
+    bool rev = (y & 1) != 0;  // serpentine
+    for (int xi = 0; xi < w; ++xi) {
+      int x = rev ? (w - 1 - xi) : xi;
+      float* px = buf + ((size_t)y * w + x) * 3;
+      float r = clampf(px[0], 0.f, 255.f);
+      float g = clampf(px[1], 0.f, 255.f);
+      float b = clampf(px[2], 0.f, 255.f);
+      int ci = nearest(pal_f, n_eff, r, g, b);
+      out[(size_t)y * w + x] = map[ci];
+      float er = r - pal_f[ci * 3];
+      float eg = g - pal_f[ci * 3 + 1];
+      float eb = b - pal_f[ci * 3 + 2];
+      for (int t = 0; t < K.n; ++t) {
+        int ny = y + K.dy[t];
+        int nx = x + (rev ? -K.dx[t] : K.dx[t]);
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        float* np_ = buf + ((size_t)ny * w + nx) * 3;
+        np_[0] += er * K.w[t];
+        np_[1] += eg * K.w[t];
+        np_[2] += eb * K.w[t];
+      }
+    }
+  }
+  delete[] buf;
+}
+
+}  // extern "C"

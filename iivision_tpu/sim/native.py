@@ -1,0 +1,56 @@
+"""ctypes bindings for the native C++ helpers (dither kernel)."""
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
+
+KERNELS = {"floyd": 0, "buckels": 0, "atkinson": 1, "jarvis": 2}
+
+
+@functools.lru_cache(None)
+def _dither_lib():
+    src = os.path.join(_CSRC, "dither.cpp")
+    so = os.path.join(_CSRC, "libdither.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
+    lib = ctypes.CDLL(so)
+    lib.dither_ed.restype = None
+    lib.dither_ed.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    return lib
+
+
+def dither(rgb: np.ndarray, palette_rgb: np.ndarray,
+           kernel: str = "buckels",
+           allowed: np.ndarray = None) -> np.ndarray:
+    """Serpentine error-diffusion quantization.
+
+    rgb: (h, w, 3) float32 0..255; palette_rgb: (n, 3).
+    Returns (h, w) int32 palette indices (colour codes).
+    """
+    lib = _dither_lib()
+    h, w = rgb.shape[:2]
+    rgb = np.ascontiguousarray(rgb, dtype=np.float32)
+    pal = np.ascontiguousarray(palette_rgb, dtype=np.float32)
+    out = np.zeros((h, w), dtype=np.int32)
+    if allowed is not None:
+        allowed = np.ascontiguousarray(allowed, dtype=np.uint8)
+        allowed_p = allowed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    else:
+        allowed_p = None
+    lib.dither_ed(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h, w,
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pal),
+        allowed_p, KERNELS.get(kernel, 0),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

@@ -1,0 +1,87 @@
+"""Vectorized `.a2m` byte emission.
+
+StreamFramer (framing.py) is the incremental/reference path: one Python
+object per opcode.  For full movies that costs ~20us per opcode - comparable
+to the encoder itself - so this module assembles the identical byte stream
+with numpy: opcode records become an (n, 7) byte matrix via an address LUT,
+and ACK/terminate/padding are spliced at the precomputed 2KB boundaries.
+Byte-for-byte equality with StreamFramer is enforced by tests.
+"""
+
+from typing import Optional
+
+import numpy as np
+
+from iivision_tpu.stream import opcodes as ops_mod
+from iivision_tpu.stream.opcodes import OpcodeAddresses, default_addresses
+from iivision_tpu.video_mode import VideoMode
+
+
+def _addr_lut(addrs: OpcodeAddresses) -> np.ndarray:
+    """(32 duty-cycles, 32 pages) -> opcode entry address."""
+    lut = np.zeros((32, 32), dtype=np.int32)
+    for (t, p), a in addrs.tick.items():
+        lut[(t - 4) // 2, p - 32] = a
+    return lut
+
+
+def emit_stream_fast(flat_ops: np.ndarray, levels: np.ndarray,
+                     mode: VideoMode,
+                     addrs: Optional[OpcodeAddresses] = None,
+                     max_bytes_out: Optional[int] = None) -> bytes:
+    """Assemble the full stream: header + ticks + ACKs + terminate + padding.
+
+    flat_ops: (n, 6) int32 [page, content, o0..o3]; levels: (n,) in -15..16.
+    """
+    addrs = addrs or default_addresses()
+    lut = _addr_lut(addrs)
+    n = len(flat_ops)
+    assert len(levels) >= n
+
+    if max_bytes_out and n:
+        # cut at the first opcode whose start position reaches the cap
+        # (StreamFramer semantics: checked before each op)
+        i = np.arange(n)
+        acks_before = np.where(
+            i < ops_mod.OPS_FIRST_FRAME, 0,
+            1 + (i - ops_mod.OPS_FIRST_FRAME) // ops_mod.OPS_PER_FRAME)
+        starts = 7 + 7 * i + 4 * acks_before
+        over = np.flatnonzero(starts >= max_bytes_out)
+        if over.size:
+            n = int(over[0])
+
+    duty_idx = (np.asarray(levels[:n], dtype=np.int32) + 15)  # 0..31
+    page_idx = flat_ops[:n, 0].astype(np.int32) - 32
+    flat_ops = flat_ops[:n]
+    addr = lut[duty_idx, page_idx]
+
+    rec = np.empty((n, ops_mod.TICK_BYTES), dtype=np.uint8)
+    rec[:, 0] = addr >> 8
+    rec[:, 1] = addr & 0xFF
+    rec[:, 2] = flat_ops[:, 1] & 0xFF
+    rec[:, 3:7] = flat_ops[:, 2:6] & 0xFF
+    body = rec.reshape(-1)
+
+    out = bytearray()
+    out += bytes([0xFF] * 6 + [mode.value])
+
+    ack_hi, ack_lo = addrs.ack >> 8, addrs.ack & 0xFF
+    pos = 0  # op index consumed
+    seg = 0
+    aux = False
+    while pos < n:
+        cap = (ops_mod.OPS_FIRST_FRAME if seg == 0
+               else ops_mod.OPS_PER_FRAME)
+        take = min(cap, n - pos)
+        out += body[pos * 7:(pos + take) * 7].tobytes()
+        pos += take
+        if take == cap:  # segment filled: ACK
+            if mode == VideoMode.DHGR:
+                aux = not aux
+            out += bytes([ack_hi, ack_lo, 0x55 if aux else 0x54, 0xFF])
+        seg += 1
+
+    out += bytes([addrs.terminate >> 8, addrs.terminate & 0xFF])
+    pad = (-len(out)) % 2048
+    out += bytes(pad)
+    return bytes(out)

@@ -1,0 +1,58 @@
+"""emit_stream_fast must be byte-for-byte identical to StreamFramer."""
+
+import numpy as np
+import pytest
+
+from iivision_tpu.stream import emit_fast, framing, opcodes
+from iivision_tpu.stream.opcodes import Header, Tick, audio_level_to_tick
+from iivision_tpu.video_mode import VideoMode
+
+
+def make_ops(n, seed=0):
+    rng = np.random.RandomState(seed)
+    flat = np.zeros((n, 6), dtype=np.int32)
+    flat[:, 0] = rng.randint(32, 64, n)
+    flat[:, 1] = rng.randint(0, 256, n)
+    flat[:, 2:] = rng.randint(0, 256, (n, 4))
+    levels = rng.randint(-15, 17, n)
+    return flat, levels
+
+
+def framer_bytes(flat, levels, mode, max_bytes_out=None):
+    framer = framing.StreamFramer(mode, max_bytes_out=max_bytes_out)
+
+    def ops():
+        yield Header(mode)
+        for i in range(len(flat)):
+            p, c, o0, o1, o2, o3 = (int(x) for x in flat[i])
+            yield Tick(audio_level_to_tick(int(levels[i])), p, c,
+                       (o0, o1, o2, o3))
+    return b"".join(framer.emit_stream(ops()))
+
+
+@pytest.mark.parametrize("mode", [VideoMode.DHGR, VideoMode.HGR])
+@pytest.mark.parametrize("n", [0, 1, 290, 291, 292, 583, 1200])
+def test_emit_fast_parity(mode, n):
+    flat, levels = make_ops(n, seed=n)
+    want = framer_bytes(flat, levels, mode)
+    got = emit_fast.emit_stream_fast(flat, levels, mode)
+    assert got == want, (len(got), len(want))
+
+
+@pytest.mark.parametrize("cap", [2048, 3000, 4096, 10000])
+def test_emit_fast_max_bytes(cap):
+    flat, levels = make_ops(2000, seed=1)
+    want = framer_bytes(flat, levels, VideoMode.DHGR, max_bytes_out=cap)
+    got = emit_fast.emit_stream_fast(flat, levels, VideoMode.DHGR,
+                                     max_bytes_out=cap)
+    assert got == want
+
+
+def test_emit_fast_speed():
+    flat, levels = make_ops(147000)
+    import time
+    t0 = time.time()
+    out = emit_fast.emit_stream_fast(flat, levels, VideoMode.DHGR)
+    dt = time.time() - t0
+    assert len(out) % 2048 == 0
+    assert dt < 1.0, dt  # was ~3s through the object path
