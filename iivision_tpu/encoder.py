@@ -5,30 +5,45 @@ The reference encodes each frame with a Python heapq greedy loop that pops one
 (reference transcoder/video.py:95-251) - inherently sequential and the reason
 transcode runs 5-10x slower than realtime on CPU (reference README.md:131).
 
-TPU redesign: screen pages are *independent* - a packed column never spans
-pages, so stores on different pages cannot interact (reference screen.py:
-207-226 zeroes halos at page boundaries).  Therefore up to 32 opcodes (one
-per page) can be selected and applied in parallel with results identical to
-running the same per-page greedy choices sequentially.  The encoder runs a
-`lax.scan` whose step selects the top-K priority pages, picks each page's
-best store + 3 companion offsets, applies them functionally, and emits K
-opcodes.  K=1 reproduces the reference's global-greedy order; K=8..32 trades
-strict greedy order for 8-32x fewer sequential steps.  A whole movie - every
-frame, every 2KB bank flip - compiles to ONE XLA program; batches of movies
-vmap over it.
+TPU redesign, three layers:
+
+1. Page parallelism.  Screen pages are independent - a packed column never
+   spans pages (reference screen.py:207-226 zeroes halos at page
+   boundaries) - so up to 32 opcodes (one per page) are selected and applied
+   per scan step with results identical to running the same per-page greedy
+   choices sequentially.  A whole movie - every frame and 2KB bank flip - is
+   ONE XLA program; batches of movies vmap over it and shard over meshes.
+
+2. Gather-free hot path.  TPUs run random gathers from large tables at only
+   ~80M elem/s, so neither the reference's 512MB edit-distance LUT nor any
+   per-step table lookup survives here.  Page/offset selection and all state
+   updates are one-hot MXU contractions and dense masked writes.
+
+3. Amortised distance work.  Store costs depend only on (target lane
+   window, content): a small store-cost table (ops/distance.py).  At each
+   memory bank's first chunk of a frame the scan precomputes, per (page,
+   content byte), the top-J companion offsets and their residual costs -
+   a few MXU matmuls + one top_k - so each step just intersects ranked
+   candidate lists with live priorities.  The per-chunk diff recompute runs
+   the Damerau-Levenshtein diagonal DP on the fly.
 
 Scheduling semantics mirrored from the reference encode loop (reference
 transcoder/movie.py:56-111):
   - one opcode per audio tick; frame f is pulled at the first tick
     >= ticks_per_frame * f; every_n-th pulled frame becomes the new target;
   - diff weights + update priorities are recomputed at every encoded-frame
-    start and (DHGR) at every 2KB bank flip (new encode_frame generator,
-    reference movie.py:94-102);
+    start and (DHGR) at every 2KB bank flip (reference movie.py:94-102);
   - when a page has no work the opcode is the reference's padding op: store
     target[0,0] at offset 0 of page 32, NOT applied to the encoder's screen
     model (reference video.py:248-251 yields padding without apply);
   - priorities accumulate across frames and are cleared where a new frame's
     diff is zero (reference video.py:113-117).
+
+Documented divergences from the reference greedy (shared with the host
+oracle in encoder_host.py): priorities are arrays (argmax always sees
+current values, unlike the stale-able heap); tie-breaks are seeded; and
+companion candidates are ranked once per (frame, bank) against that chunk's
+diff weights rather than against partially-zeroed weights per op.
 """
 
 import functools
@@ -38,12 +53,13 @@ from typing import Optional, Tuple
 import numpy as np
 
 from iivision_tpu import screen
+from iivision_tpu.ops import distance
 from iivision_tpu.stream import opcodes as ops_mod
-from iivision_tpu.stream.framing import segment_schedule
 from iivision_tpu.video_mode import VideoMode
 
-# ops per step: static K; per-op record [page, content, o0, o1, o2, o3]
-OP_FIELDS = 6
+OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
+CAND_J = 8  # ranked companion candidates kept per (page, content byte)
+INVALID_OFF = 256  # candidate sentinel: one-hot over 0..255 vanishes
 
 
 # --- host-side movie planning -------------------------------------------------
@@ -56,6 +72,7 @@ class MoviePlan:
     step_frame: np.ndarray  # (S,) int32: index into the stacked targets
     step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
     step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
+    step_rebuild_cand: np.ndarray  # (S,) bool: first chunk of (frame, bank)
     step_nvalid: np.ndarray  # (S,) int32: number of real ops in this step
     op_tick_index: np.ndarray  # (n_ops,) int32: audio tick of each opcode
 
@@ -68,12 +85,13 @@ def plan_movie(
         every_n_video_frames: int,
         mode: VideoMode,
         k: int = 8,
-) -> MoviePlan:
+) -> Tuple[MoviePlan, int]:
     """Plan the opcode schedule for a movie (host, pure numpy).
 
     Derives, for every emitted opcode, which encoded frame is the target and
     which memory bank it stores to, then chunks runs of (frame, bank) into
-    scan steps of K opcodes with a recompute flag on each chunk's first step.
+    scan steps of K opcodes with a recompute flag on each chunk's first step
+    and a candidate-rebuild flag on each (frame, bank)'s first step.
     """
     tpf = ticks_per_second / input_frame_rate
     # tick at which video frame pull f (1-based) happens; the movie ends when
@@ -84,14 +102,10 @@ def plan_movie(
         raise ValueError("Empty movie: no opcodes to emit")
 
     ticks = np.arange(1, n_ops + 1)
-    # pulled-frame number after tick t: number of pulls with ceil(tpf*f) <= t
     pulled = np.minimum(np.floor(ticks / tpf).astype(np.int64) + 1, n_frames)
-    # encoded target index: highest every_n-aligned pulled frame, mapped to
-    # its position in the *encoded* frame stack
     encoded = (pulled - 1) // every_n_video_frames
     n_encoded = int(encoded.max()) + 1
 
-    # bank per opcode (DHGR): opcode i sits in 2KB segment s(i); bank = s % 2
     op_idx = np.arange(n_ops)
     seg = np.where(op_idx < ops_mod.OPS_FIRST_FRAME, 0,
                    1 + (op_idx - ops_mod.OPS_FIRST_FRAME)
@@ -99,30 +113,34 @@ def plan_movie(
     bank = (seg % 2).astype(np.int32) if mode == VideoMode.DHGR else \
         np.zeros(n_ops, dtype=np.int32)
 
-    # chunk boundaries: first op, encoded-frame change, bank change
     change = np.zeros(n_ops, dtype=bool)
     change[0] = True
     change[1:] = (np.diff(encoded) != 0) | (np.diff(bank) != 0)
     chunk_starts = np.flatnonzero(change)
     chunk_ends = np.append(chunk_starts[1:], n_ops)
 
-    step_frame, step_bank, step_recompute, step_nvalid = [], [], [], []
+    sf, sb, sr, src_, sn = [], [], [], [], []
+    seen = set()
     for cs, ce in zip(chunk_starts, chunk_ends):
         length = ce - cs
         n_steps = -(-length // k)
+        combo = (int(encoded[cs]), int(bank[cs]))
         for s in range(n_steps):
-            step_frame.append(encoded[cs])
-            step_bank.append(bank[cs])
-            step_recompute.append(s == 0)
-            step_nvalid.append(min(k, length - s * k))
+            sf.append(encoded[cs])
+            sb.append(bank[cs])
+            sr.append(s == 0)
+            src_.append(s == 0 and combo not in seen)
+            sn.append(min(k, length - s * k))
+        seen.add(combo)
 
     return MoviePlan(
         n_ops=n_ops,
         k=k,
-        step_frame=np.asarray(step_frame, dtype=np.int32),
-        step_bank=np.asarray(step_bank, dtype=np.int32),
-        step_recompute=np.asarray(step_recompute, dtype=bool),
-        step_nvalid=np.asarray(step_nvalid, dtype=np.int32),
+        step_frame=np.asarray(sf, dtype=np.int32),
+        step_bank=np.asarray(sb, dtype=np.int32),
+        step_recompute=np.asarray(sr, dtype=bool),
+        step_rebuild_cand=np.asarray(src_, dtype=bool),
+        step_nvalid=np.asarray(sn, dtype=np.int32),
         op_tick_index=op_idx.astype(np.int32),
     ), n_encoded
 
@@ -134,11 +152,7 @@ def prepare_targets(frames_main: np.ndarray,
                     mode: VideoMode):
     """Stack per-frame targets into encoder inputs.
 
-    Args:
-      frames_main: (F, 32, 256) uint8 encoded-frame main-memory targets.
-      frames_aux: (F, 32, 256) uint8 for DHGR, or None.
-    Returns:
-      (lanes_tgt (F,32,128,L) int32, bytes_tgt (F,2,32,256) int32) as jnp.
+    Returns (lanes_tgt (F,32,128,L) int32, bytes_tgt (F,2,32,256) int32).
     """
     import jax.numpy as jnp
 
@@ -157,223 +171,242 @@ def prepare_targets(frames_main: np.ndarray,
 
 # --- the scan -------------------------------------------------------------------
 
-def _bank_lane_ids(mode: VideoMode, bank_is_aux: bool) -> Tuple[int, int]:
-    spec = screen.spec_for_mode(mode)
-    if mode == VideoMode.DHGR:
-        return spec.bank_lanes(bank_is_aux)
-    return spec.bank_lanes(False)
-
-
-def _masked_update_lane(mode: VideoMode, lane: int, lane_vals, content):
-    spec = screen.spec_for_mode(mode)
-    if mode == VideoMode.DHGR:
-        return spec.masked_update(lane_vals, content)
-    return spec.masked_update(lane_vals, content, lane)
-
-
 def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
-    """Construct the jitted whole-movie encode function for (mode, K).
+    """Construct the whole-movie encode function for (mode, K).
 
-    deterministic=True replaces all random tie-break nonces with zeros
-    (ties resolve to lowest index) - used for differential testing against
-    the host oracle (encoder_host.py).
+    deterministic=True replaces random tie-break nonces with zeros (ties
+    resolve to lowest index) - for differential testing vs the host oracle.
     """
     import jax
     import jax.numpy as jnp
 
     spec = screen.spec_for_mode(mode)
-    bits = int(spec.MASKED_BITS)
     n_lanes = int(spec.N_LANES)
-    holes = jnp.asarray(~screen.SCREEN_HOLES)  # True where storable
+    n_banks = 2 if mode == VideoMode.DHGR else 1
+    N = 1 << int(spec.MASKED_BITS)
+    C = distance.n_contents(mode)
+    J = CAND_J
+    holes_i = jnp.asarray((~screen.SCREEN_HOLES).astype(np.int32))
+    holes_f = holes_i.astype(jnp.float32)
 
-    def lanes_of(main, aux):
+    def lanes_of(banks):
         if mode == VideoMode.DHGR:
-            return screen.dhgr_masked_lanes(main, aux)
-        return screen.hgr_masked_lanes(main)
+            return screen.dhgr_masked_lanes(banks[0], banks[1])
+        return screen.hgr_masked_lanes(banks[0])
 
-    def all_lane_diffs(tables, cur_lanes, tgt_lanes):
-        """(32,128) diff per lane between current and target lanes."""
-        out = []
-        for l in range(n_lanes):
-            pair = (cur_lanes[..., l] << bits) + tgt_lanes[..., l]
-            out.append(jnp.take(tables[l], pair).astype(jnp.int32))
-        return out
-
-    def bank_diff(lane_diffs, bank):
-        """Interleave lane diffs into (32,256) for the active bank."""
+    def bank_lane_pair(bank_idx: int) -> Tuple[int, int]:
         if mode == VideoMode.DHGR:
-            d_main = screen.interleave_bank_lanes(lane_diffs[1], lane_diffs[3])
-            d_aux = screen.interleave_bank_lanes(lane_diffs[0], lane_diffs[2])
-            return jnp.where(bank == 1, d_aux, d_main)
-        return screen.interleave_bank_lanes(lane_diffs[0], lane_diffs[1])
+            return spec.bank_lanes(bank_idx == 1)
+        return spec.bank_lanes(False)
 
-    def page_delta(tables, tgt_lanes_page, dw_page, content, bank):
-        """new-diff and delta for storing `content` at all 256 offsets of a
-        page (reference screen.py:525-547 / video.py:275-301).
-
-        tgt_lanes_page: (128, n_lanes); dw_page: (256,).
-        Returns (newdiff (256,), delta (256,)).
-        """
-        def lane_newdiff(l):
-            new_lane = _masked_update_lane(
-                mode, l, tgt_lanes_page[:, l], content)
-            pair = (new_lane << bits) + tgt_lanes_page[:, l]
-            return jnp.take(tables[l], pair).astype(jnp.int32)
-
+    def diff_bank(cur_lanes, tgt_lanes, bank, sub):
+        """On-the-fly DP diff of the active bank, (32, 256) int32."""
+        ds = [distance.dist_lane_pairs(
+            cur_lanes[..., l], tgt_lanes[..., l], mode, l, sub)
+            for l in range(n_lanes)]
         if mode == VideoMode.DHGR:
-            nd_main = screen.interleave_bank_lanes(
-                lane_newdiff(1), lane_newdiff(3))
-            nd_aux = screen.interleave_bank_lanes(
-                lane_newdiff(0), lane_newdiff(2))
-            newdiff = jnp.where(bank == 1, nd_aux, nd_main)
+            dm = screen.interleave_bank_lanes(ds[1], ds[3])
+            da = screen.interleave_bank_lanes(ds[0], ds[2])
+            d = jnp.where(bank == 1, da, dm)
         else:
-            newdiff = screen.interleave_bank_lanes(
-                lane_newdiff(0), lane_newdiff(1))
-        return newdiff, newdiff - dw_page
+            d = screen.interleave_bank_lanes(ds[0], ds[1])
+        return d.astype(jnp.int32)
 
-    def encode_scan(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
-                    step_recompute, step_nvalid, key):
-        """Run the whole-movie scan.
+    def build_sc(tgt_lanes, store_cost16, bank):
+        """Active-bank cost slab (32, 256 offsets, C) int16 via row gathers.
 
-        tables: tuple of n_lanes (N*N,) uint16 LUTs.
-        lanes_tgt: (F, 32, 128, n_lanes) int32.
-        bytes_tgt: (F, 2, 32, 256) int32.
-        step_*: (S,) schedule arrays.
-        Returns ops (S, K, 6) int32 and the final screen byte arrays.
+        sc[p, o, c] = cost of storing content c at offset o of page p
+        relative to the target frame.  Contiguous-row gathers from the small
+        int16 store-cost table outperform one-hot MXU selection here.
         """
+        def lane_sc(l):
+            vals = tgt_lanes[..., l].reshape(-1)  # (4096,)
+            return jnp.take(store_cost16[l], vals, axis=0)  # (4096, C)
+
+        def for_bank(b):
+            le, lo = bank_lane_pair(b)
+            se = lane_sc(le).reshape(32, 128, C)
+            so = lane_sc(lo).reshape(32, 128, C)
+            return jnp.stack([se, so], axis=2).reshape(32, 256, C)
+
+        if n_banks == 1:
+            return for_bank(0)
+        return jax.lax.cond(bank == 1, lambda: for_bank(1),
+                            lambda: for_bank(0))
+
+    def build_cand(tgt_lanes, dw_b, store_cost16, bank):
+        """Ranked companion candidates for the active bank, per content byte.
+
+        For every (page, content c): delta[o] = cost(store c at o) - dw[o];
+        keep the J most negative as (offset, residual-cost) pairs, ties
+        resolved by lowest offset (deterministic - the per-op primary
+        selection keeps its random nonce, which is what prevents the
+        reference's "venetian blind" artifacts, reference video.py:262-267).
+        Scores are int16 (costs are < 2^12) so the top_k runs at half the
+        f32 bandwidth; residuals are recovered as dw[idx] - score, avoiding
+        a 2M-element take_along_axis.  Invalid slots get the INVALID_OFF
+        sentinel.  Returns (cand_off (32,C,J) int32, cand_resid (32,C,J)
+        f32).
+        """
+        sc = build_sc(tgt_lanes, store_cost16, bank)  # (32, 256, C) i16
+        # delta[p, c, o] = sc[p, o, c] - dw[p, o]
+        delta = (sc.transpose(0, 2, 1).astype(jnp.int32)
+                 - dw_b[:, None, :])
+        eligible = (delta < 0) & (holes_i[:, None, :] > 0)
+        score = jnp.where(eligible, -delta, -1).astype(jnp.int16)
+        top, idx = jax.lax.top_k(score, J)  # (32, C, J)
+        dw_sel = jax.vmap(jnp.take)(
+            dw_b, idx.reshape(32, -1)).reshape(32, C, J)
+        resid = (dw_sel - top.astype(jnp.int32)).astype(jnp.float32)
+        cand_off = jnp.where(top > 0, idx, INVALID_OFF)
+        return cand_off.astype(jnp.int32), resid
+
+    def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
+                    step_bank, step_recompute, step_rebuild, step_nvalid,
+                    key):
         S = step_frame.shape[0]
-        zero = jnp.zeros((32, 256), jnp.int32)
-        state0 = dict(main=zero, aux=zero, up_m=zero, up_a=zero,
-                      dw_m=zero, dw_a=zero)
+        store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
+        zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
+        state0 = dict(
+            banks=zero, up=zero, dw=zero,
+            cand_off=jnp.full((n_banks, 32, C, J), INVALID_OFF, jnp.int32),
+            cand_resid=jnp.zeros((n_banks, 32, C, J), jnp.float32))
+        iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
+        iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+        iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
         def step(state, xs):
-            step_i, frame, bank, recompute, nvalid = xs
+            step_i, frame, bank, recompute, rebuild, nvalid = xs
             skey = jax.random.fold_in(key, step_i)
 
-            def nonce(sub, shape):
+            def nonce(sub_i, shape):
                 if deterministic:
                     return jnp.zeros(shape, jnp.float32)
                 return jax.random.uniform(
-                    jax.random.fold_in(skey, sub), shape, jnp.float32)
+                    jax.random.fold_in(skey, sub_i), shape, jnp.float32)
 
-            tgt_lanes = lanes_tgt[frame]  # (32,128,L)
-            tgt_bytes = bytes_tgt[frame, bank]  # (32,256)
+            tl = lanes_tgt[frame]  # (32, 128, n_lanes)
+            tb = bytes_tgt[frame, bank]  # (32, 256) int32
+            bank_c = jnp.clip(bank, 0, n_banks - 1)
 
-            up = jnp.where(bank == 1, state["up_a"], state["up_m"])
-            dw = jnp.where(bank == 1, state["dw_a"], state["dw_m"])
+            up_b = jax.lax.dynamic_index_in_dim(
+                state["up"], bank_c, 0, keepdims=False)
+            dw_b = jax.lax.dynamic_index_in_dim(
+                state["dw"], bank_c, 0, keepdims=False)
 
+            # -- chunk-start recompute (on-the-fly DP diff) -----------------
             def do_recompute(up, dw):
-                cur = lanes_of(state["main"], state["aux"])
-                diffs = all_lane_diffs(tables, cur, tgt_lanes)
-                d = bank_diff(diffs, bank) * holes
-                new_up = jnp.where(d == 0, 0, up) + d
-                return new_up, d
+                cur = lanes_of(state["banks"])
+                d = diff_bank(cur, tl, bank, sub) * holes_i
+                return jnp.where(d == 0, 0, up) + d, d
 
-            up, dw = jax.lax.cond(
-                recompute, do_recompute, lambda u, d: (u, d), up, dw)
+            up_b, dw_b = jax.lax.cond(
+                recompute, do_recompute, lambda u, d: (u, d), up_b, dw_b)
 
-            # --- page selection: top-K pages by max priority, random ties ---
-            page_max = jnp.max(up, axis=1)  # (32,)
-            nonce_p = nonce(0, (32,))
-            page_score = page_max.astype(jnp.float32) * 256.0 + nonce_p * 255.0
+            # -- (frame, bank)-start candidate rebuild ----------------------
+            co_b = jax.lax.dynamic_index_in_dim(
+                state["cand_off"], bank_c, 0, keepdims=False)
+            cr_b = jax.lax.dynamic_index_in_dim(
+                state["cand_resid"], bank_c, 0, keepdims=False)
+
+            def do_rebuild(co, cr):
+                return build_cand(tl, dw_b, store_cost16, bank)
+
+            co_b, cr_b = jax.lax.cond(
+                rebuild, do_rebuild, lambda a, b: (a, b), co_b, cr_b)
+
+            # -- page selection --------------------------------------------
+            page_max = jnp.max(up_b, axis=1)  # (32,)
+            page_score = (page_max.astype(jnp.float32) * 256.0
+                          + nonce(0, (32,)) * 255.0)
             _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
+            P = (pages[:, None] == iota_k32).astype(jnp.float32)  # (K, 32)
             has_work = page_max[pages] > 0
-            op_valid = (jnp.arange(k) < nvalid)
-            real = has_work & op_valid
+            real = has_work & (iota_k < nvalid)
+            realf = real.astype(jnp.float32)[:, None]
 
-            up_pages = up[pages]  # (K, 256)
+            up_p = jnp.dot(P, up_b.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)  # (K, 256)
+            tb_p = jnp.dot(P, tb.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
 
-            # --- best offset per page, random tie-break -------------------
-            nonce_o = nonce(1, (k, 256))
-            off_score = up_pages.astype(jnp.float32) * 256.0 + nonce_o * 255.0
+            # -- best offset per page --------------------------------------
+            off_score = up_p * 256.0 + nonce(1, (k, 256)) * 255.0
             offset0 = jnp.argmax(off_score, axis=1)  # (K,)
-            content = tgt_bytes[pages, offset0]  # (K,)
+            off0_oh = (offset0[:, None] == iota_256).astype(jnp.float32)
+            content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
 
-            # --- companion offsets (3 more, least added error) -------------
-            def one_page(pg, off0, ct):
-                newdiff, delta = page_delta(
-                    tables, tgt_lanes[pg], dw[pg], ct, bank)
-                cand = (delta < 0) & (up[pg] > 0) \
-                    & (jnp.arange(256) != off0)
-                nonce_c = nonce(2 + pg, (256,)) if not deterministic \
-                    else jnp.zeros((256,), jnp.float32)
-                score = jnp.where(
-                    cand,
-                    (-delta).astype(jnp.float32) * 256.0 + nonce_c * 255.0,
-                    -1.0)
-                sc3, off3 = jax.lax.top_k(score, 3)
-                acc3 = sc3 > 0
-                return newdiff, off3, acc3
+            # -- companions: ranked candidates x live priorities ------------
+            rows = pages * C + content  # (K,)
+            off_cand = jnp.take(co_b.reshape(32 * C, J), rows, axis=0)
+            resid_cand = jnp.take(cr_b.reshape(32 * C, J), rows, axis=0)
+            oh_cand = (off_cand[:, :, None] == iota_256[None]).astype(
+                jnp.float32)  # (K, J, 256); INVALID_OFF rows vanish
+            up_cand = jnp.einsum("kjo,ko->kj", oh_cand, up_p,
+                                 preferred_element_type=jnp.float32)
+            ok = (up_cand > 0.0) & (off_cand != offset0[:, None]) \
+                & (off_cand < INVALID_OFF)
+            rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) * ok
+            sel = ok & (rank <= 3)
+            self_f = sel.astype(jnp.float32)
+            acc_rows = jnp.einsum("kjo,kj->ko", oh_cand, self_f)
+            resid_rows = jnp.einsum("kjo,kj->ko", oh_cand,
+                                    self_f * resid_cand)
+            # emission slots: candidate with rank s+1, else primary offset
+            slot_hit = (rank[:, None, :] ==
+                        (jnp.arange(3) + 1)[None, :, None]) & sel[:, None, :]
+            off3 = jnp.sum(slot_hit * off_cand[:, None, :], axis=2)
+            found = jnp.any(slot_hit, axis=2)
+            off3_eff = jnp.where(found, off3, offset0[:, None])
 
-            newdiff_k, off3_k, acc3_k = jax.vmap(one_page)(
-                pages, offset0, content)
+            # -- state updates as one-hot matmul writes --------------------
+            umask_rows = (off0_oh + acc_rows) * realf  # 0/1, disjoint
+            M_up = jnp.dot(P.T, umask_rows,
+                           preferred_element_type=jnp.float32)
+            V_up = jnp.dot(P.T, resid_rows * realf,
+                           preferred_element_type=jnp.float32)
+            Mi = M_up.astype(jnp.int32)
+            new_up_b = up_b * (1 - Mi) + V_up.astype(jnp.int32)
 
-            # padding for unaccepted companion slots: repeat primary offset
-            off3_eff = jnp.where(acc3_k, off3_k, offset0[:, None])
+            M_dw = jnp.dot(P.T, off0_oh * realf,
+                           preferred_element_type=jnp.float32)
+            new_dw_b = dw_b * (1 - M_dw.astype(jnp.int32))
 
-            # --- apply: set screen bytes, priorities, diff weights ---------
-            # scatter only for real ops; redirect invalid ops to a write of
-            # the existing value (self-assign) to keep everything functional
-            all_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
-            pg_b = jnp.broadcast_to(pages[:, None], all_off.shape)
-
-            def masked_set(arr, rows, cols, vals, m):
-                old = arr[rows, cols]
-                return arr.at[rows, cols].set(jnp.where(m, vals, old))
-
-            m4 = jnp.broadcast_to(real[:, None], all_off.shape)
-            ct4 = jnp.broadcast_to(content[:, None], all_off.shape)
-            if mode == VideoMode.DHGR:
-                new_main = masked_set(state["main"], pg_b, all_off, ct4,
-                                      m4 & (bank == 0))
-                new_aux = masked_set(state["aux"], pg_b, all_off, ct4,
-                                     m4 & (bank == 1))
-            else:
-                new_main = masked_set(state["main"], pg_b, all_off, ct4, m4)
-                new_aux = state["aux"]
-
-            # priorities: primary -> 0; companions -> residual newdiff.
-            # Unaccepted companion slots are redirected to the primary offset
-            # with value 0 so that duplicate scatter indices always write the
-            # same value (a masked-out slot whose top_k index collides with
-            # the primary would otherwise nondeterministically revive the
-            # primary's just-cleared priority).
-            resid3 = jnp.take_along_axis(newdiff_k, off3_k, axis=1)
-            pri_vals = jnp.concatenate(
-                [jnp.zeros((k, 1), jnp.int32),
-                 jnp.where(acc3_k, resid3, 0)], axis=1)
-            pri_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
-            pri_mask = jnp.broadcast_to(real[:, None], pri_off.shape)
-            new_up = masked_set(up, jnp.broadcast_to(pages[:, None],
-                                                     pri_off.shape),
-                                pri_off, pri_vals, pri_mask)
-            # diff weights: primary offset zeroed only
-            new_dw = masked_set(dw, pages[:, None], offset0[:, None],
-                                jnp.zeros((k, 1), jnp.int32),
-                                real[:, None])
+            V_bytes = jnp.dot(P.T, umask_rows * content[:, None].astype(
+                jnp.float32), preferred_element_type=jnp.float32)
+            bank_bytes = jax.lax.dynamic_index_in_dim(
+                state["banks"], bank_c, 0, keepdims=False)
+            new_bank_bytes = bank_bytes * (1 - Mi) + V_bytes.astype(jnp.int32)
 
             new_state = dict(
-                main=new_main, aux=new_aux,
-                up_m=jnp.where(bank == 1, state["up_m"], new_up),
-                up_a=jnp.where(bank == 1, new_up, state["up_a"]),
-                dw_m=jnp.where(bank == 1, state["dw_m"], new_dw),
-                dw_a=jnp.where(bank == 1, new_dw, state["dw_a"]),
+                banks=jax.lax.dynamic_update_index_in_dim(
+                    state["banks"], new_bank_bytes, bank_c, 0),
+                up=jax.lax.dynamic_update_index_in_dim(
+                    state["up"], new_up_b, bank_c, 0),
+                dw=jax.lax.dynamic_update_index_in_dim(
+                    state["dw"], new_dw_b, bank_c, 0),
+                cand_off=jax.lax.dynamic_update_index_in_dim(
+                    state["cand_off"], co_b, bank_c, 0),
+                cand_resid=jax.lax.dynamic_update_index_in_dim(
+                    state["cand_resid"], cr_b, bank_c, 0),
             )
 
-            # --- emit: real ops as selected; idle pages emit padding -------
-            pad_content = tgt_bytes[0, 0]
-            out_page = jnp.where(real, pages, 0)
-            out_content = jnp.where(real, content, pad_content)
-            out_off = jnp.where(real[:, None], all_off, 0)
+            # -- emit -------------------------------------------------------
+            pad_content = tb[0, 0]
+            all_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
             op_rec = jnp.concatenate(
-                [out_page[:, None] + 32, out_content[:, None], out_off],
-                axis=1)  # (K, 6)
-            return new_state, op_rec
+                [jnp.where(real, pages, 0)[:, None] + 32,
+                 jnp.where(real, content, pad_content)[:, None],
+                 jnp.where(real[:, None], all_off, 0)], axis=1)
+            return new_state, op_rec.astype(jnp.uint8)
 
         xs = (jnp.arange(S, dtype=jnp.int32), step_frame, step_bank,
-              step_recompute, step_nvalid)
+              step_recompute, step_rebuild, step_nvalid)
         final, ops = jax.lax.scan(step, state0, xs)
-        return ops, final["main"], final["aux"]
+        main = final["banks"][0]
+        aux = final["banks"][n_banks - 1] if n_banks == 2 else \
+            final["banks"][0]
+        return ops, main, aux
 
     return encode_scan
 
@@ -381,30 +414,28 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
 @functools.lru_cache(None)
 def _jitted_encode(mode: VideoMode, k: int, deterministic: bool):
     import jax
-    fn = _build_encode_scan(mode, k, deterministic)
-    return jax.jit(fn)
+    return jax.jit(_build_encode_scan(mode, k, deterministic))
 
 
-def encode_movie(tables, lanes_tgt, bytes_tgt, plan: MoviePlan,
+def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
                  mode: VideoMode, seed: Optional[int] = 0):
     """Encode a planned movie on the accelerator.
 
+    dist: a distance.ComputedDistance for (mode, palette).
     seed=None disables random tie-breaks (deterministic; for testing).
-    Returns (ops (S, K, 6) int32 device array, final main, final aux).
-    Flatten to the opcode stream with `flatten_ops`.
+    Returns (ops (S, K, 6) int32, final main (32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    spec = screen.spec_for_mode(mode)
     fn = _jitted_encode(mode, plan.k, seed is None)
-    seed = 0 if seed is None else seed
-    key = jax.random.PRNGKey(seed)
-    tables_t = tuple(tables[l] for l in range(int(spec.N_LANES)))
-    return fn(tables_t, lanes_tgt, bytes_tgt,
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
+              lanes_tgt, bytes_tgt,
               jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
-              jnp.asarray(plan.step_recompute), jnp.asarray(plan.step_nvalid),
-              key)
+              jnp.asarray(plan.step_recompute),
+              jnp.asarray(plan.step_rebuild_cand),
+              jnp.asarray(plan.step_nvalid), key)
 
 
 def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:

@@ -1,159 +1,142 @@
 """Host (numpy) oracle for the TPU encoder scan.
 
 Implements exactly the algorithm of encoder.py's `lax.scan` step, scalar and
-readable, for differential testing: with the same nonces (or zero nonces) the
-two must emit identical opcode streams.  Also documents where the algorithm
-intentionally diverges from the reference's heapq greedy loop (reference
-transcoder/video.py:95-251):
+readable, for differential testing: with zero nonces the two must emit
+identical opcode streams.  Uses the same distance model (ops/distance.py)
+evaluated with numpy.
 
-- priorities live in an array and the argmax always sees *current* values;
-  the reference's heap can pop entries whose priority has since changed and
-  only skips entries that dropped to exactly 0 (video.py:122-131), i.e. it
-  sometimes orders work by stale priorities.  Array semantics are strictly
-  fresher.
-- tie-breaks are driven by an explicit seeded nonce field instead of
-  unseeded random.getrandbits/np.random (video.py:178, 265, 291), so runs
-  are reproducible.
+See encoder.py's module docstring for the documented divergences from the
+reference's heapq greedy loop; they are shared by both implementations.
 """
 
-from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 import numpy as np
 
 from iivision_tpu import screen
+from iivision_tpu.encoder import CAND_J, INVALID_OFF
+from iivision_tpu.ops import distance
 from iivision_tpu.video_mode import VideoMode
-
-
-@dataclass
-class HostEncoderState:
-    main: np.ndarray = field(
-        default_factory=lambda: np.zeros((32, 256), np.int32))
-    aux: np.ndarray = field(
-        default_factory=lambda: np.zeros((32, 256), np.int32))
-    up: dict = field(default_factory=lambda: {
-        0: np.zeros((32, 256), np.int32), 1: np.zeros((32, 256), np.int32)})
-    dw: dict = field(default_factory=lambda: {
-        0: np.zeros((32, 256), np.int32), 1: np.zeros((32, 256), np.int32)})
 
 
 class HostEncoder:
     """Scalar mirror of the TPU encode scan."""
 
-    def __init__(self, mode: VideoMode, tables: np.ndarray,
-                 k: int = 8, seed: Optional[int] = None):
+    def __init__(self, mode: VideoMode, dist, k: int = 8,
+                 seed: Optional[int] = None):
         self.mode = mode
         self.spec = screen.spec_for_mode(mode)
-        self.bits = int(self.spec.MASKED_BITS)
-        self.tables = np.asarray(tables)
+        self.store_cost = np.asarray(dist.store_cost)
+        self.sub = np.asarray(dist.sub, dtype=np.float64)
         self.k = k
-        self.state = HostEncoderState()
+        self.n_banks = 2 if mode == VideoMode.DHGR else 1
+        self.C = distance.n_contents(mode)
+        self.banks = np.zeros((self.n_banks, 32, 256), np.int32)
+        self.up = np.zeros((self.n_banks, 32, 256), np.int32)
+        self.dw = np.zeros((self.n_banks, 32, 256), np.int32)
+        self.cand_off = np.full((self.n_banks, 32, self.C, CAND_J),
+                                INVALID_OFF, np.int32)
+        self.cand_resid = np.zeros((self.n_banks, 32, self.C, CAND_J),
+                                   np.float32)
         self.not_hole = (~screen.SCREEN_HOLES).astype(np.int32)
-        # seed=None -> zero nonces (deterministic; used for TPU diff tests)
         self.rng = np.random.RandomState(seed) if seed is not None else None
-
-    # -- lane helpers ----------------------------------------------------------
 
     def _cur_lanes(self):
         if self.mode == VideoMode.DHGR:
-            return screen.dhgr_masked_lanes(self.state.main, self.state.aux)
-        return screen.hgr_masked_lanes(self.state.main)
-
-    def _lane_diff(self, cur_lanes, tgt_lanes, lane):
-        pair = (cur_lanes[:, :, lane].astype(np.int64) << self.bits) \
-            + tgt_lanes[:, :, lane]
-        return self.tables[lane].reshape(-1)[pair].astype(np.int32)
-
-    def _bank_diff(self, cur_lanes, tgt_lanes, bank):
-        l_even, l_odd = self._bank_lanes(bank)
-        return screen.interleave_bank_lanes(
-            self._lane_diff(cur_lanes, tgt_lanes, l_even),
-            self._lane_diff(cur_lanes, tgt_lanes, l_odd))
+            return screen.dhgr_masked_lanes(self.banks[0], self.banks[1])
+        return screen.hgr_masked_lanes(self.banks[0])
 
     def _bank_lanes(self, bank) -> Tuple[int, int]:
         if self.mode == VideoMode.DHGR:
             return self.spec.bank_lanes(bank == 1)
         return self.spec.bank_lanes(False)
 
-    def _newdiff_page(self, tgt_lanes, page, content, bank):
-        """Diff of storing `content` at every offset of `page` vs the target
-        (reference compute_delta_page numerator, screen.py:525-547)."""
-        l_even, l_odd = self._bank_lanes(bank)
-        out = np.zeros(256, np.int32)
-        for pos, lane in ((0, l_even), (1, l_odd)):
-            lane_vals = tgt_lanes[page, :, lane].astype(np.int64)
-            if self.mode == VideoMode.DHGR:
-                new = self.spec.masked_update(lane_vals, content)
-            else:
-                new = self.spec.masked_update(lane_vals, content, lane)
-            pair = (new << self.bits) + tgt_lanes[page, :, lane]
-            out[pos::2] = self.tables[lane].reshape(-1)[pair]
-        return out
-
     def _nonce(self, shape):
         if self.rng is None:
             return np.zeros(shape, np.float32)
         return self.rng.uniform(size=shape).astype(np.float32)
 
-    # -- the step ---------------------------------------------------------------
-
     def recompute(self, tgt_lanes, bank: int):
-        d = self._bank_diff(self._cur_lanes(), tgt_lanes, bank) * self.not_hole
-        up = self.state.up[bank]
-        self.state.up[bank] = np.where(d == 0, 0, up) + d
-        self.state.dw[bank] = d
+        cur = self._cur_lanes()
+        ds = [np.asarray(distance.dist_lane_pairs(
+            cur[:, :, l], tgt_lanes[:, :, l], self.mode, l, self.sub))
+            for l in range(int(self.spec.N_LANES))]
+        if self.mode == VideoMode.DHGR:
+            le, lo = self._bank_lanes(bank)
+            d = screen.interleave_bank_lanes(ds[le], ds[lo])
+        else:
+            d = screen.interleave_bank_lanes(ds[0], ds[1])
+        d = d.astype(np.int32) * self.not_hole
+        up = self.up[bank]
+        self.up[bank] = np.where(d == 0, 0, up) + d
+        self.dw[bank] = d
 
-    def step(self, tgt_lanes, tgt_bytes, bank: int,
-             nvalid: int) -> List[Tuple]:
-        """Emit up to `nvalid` opcodes (one per selected page)."""
-        up = self.state.up[bank]
-        dw = self.state.dw[bank]
-        bank_bytes = (self.state.aux if (
-            self.mode == VideoMode.DHGR and bank == 1) else self.state.main)
+    def rebuild_cand(self, tgt_lanes, tgt_bytes, bank: int):
+        """Ranked per-content companion candidates (mirror of encoder
+        build_cand, including the exact score-based residual recovery)."""
+        le, lo = self._bank_lanes(bank)
+        sc16 = self.store_cost.astype(np.int16)
+        se = sc16[le][tgt_lanes[:, :, le]]  # (32,128,C)
+        so = sc16[lo][tgt_lanes[:, :, lo]]
+        sc = np.stack([se, so], axis=2).reshape(32, 256, self.C)
+        # delta[p, c, o] = sc[p, o, c] - dw[p, o]
+        delta = (sc.transpose(0, 2, 1).astype(np.int32)
+                 - self.dw[bank][:, None, :])
+        eligible = (delta < 0) & (self.not_hole[:, None, :] > 0)
+        score = np.where(eligible, -delta, -1).astype(np.int16)
+        order = np.argsort(-score, axis=-1, kind="stable")[..., :CAND_J]
+        top = np.take_along_axis(score, order, axis=-1)
+        dw_sel = np.take_along_axis(
+            np.broadcast_to(self.dw[bank][:, None, :],
+                            (32, self.C, 256)), order, axis=-1)
+        resid = (dw_sel - top.astype(np.int32)).astype(np.float32)
+        self.cand_off[bank] = np.where(top > 0, order, INVALID_OFF)
+        self.cand_resid[bank] = resid
+
+    def step(self, tgt_bytes, bank: int, nvalid: int) -> List[Tuple]:
+        up = self.up[bank]
+        dw = self.dw[bank]
+        bank_bytes = self.banks[bank]
 
         page_max = up.max(axis=1)
         score = page_max.astype(np.float32) * 256.0 + self._nonce(32) * 255.0
         pages = np.argsort(-score, kind="stable")[:self.k]
+        nonce_o = self._nonce((self.k, 256))
 
         ops = []
         for slot in range(nvalid):
             pg = int(pages[slot])
             if page_max[pg] <= 0:
-                # padding op (reference video.py:248-251); not applied
                 ops.append((32, int(tgt_bytes[0, 0]), 0, 0, 0, 0))
                 continue
             off_score = up[pg].astype(np.float32) * 256.0 \
-                + self._nonce(256) * 255.0
+                + nonce_o[slot] * 255.0
             off0 = int(np.argmax(off_score))
             content = int(tgt_bytes[pg, off0])
 
-            newdiff = self._newdiff_page(tgt_lanes, pg, content, bank)
-            delta = newdiff - dw[pg]
-            cand = (delta < 0) & (up[pg] > 0) & (np.arange(256) != off0)
-            cscore = np.where(
-                cand, (-delta).astype(np.float32) * 256.0
-                + self._nonce(256) * 255.0, -1.0)
-            order = np.argsort(-cscore, kind="stable")[:3]
-            acc = cscore[order] > 0
-
-            offs = [off0] + [int(o) if a else off0
-                             for o, a in zip(order, acc)]
-            # apply stores
-            for o in set(offs):
+            offs = [off0]
+            for j in range(CAND_J):
+                if len(offs) == 4:
+                    break
+                o = int(self.cand_off[bank, pg, content, j])
+                if o >= INVALID_OFF or o == off0 or up[pg, o] <= 0:
+                    continue
+                offs.append(o)
+                up[pg, o] = int(self.cand_resid[bank, pg, content, j])
                 bank_bytes[pg, o] = content
+            while len(offs) < 4:
+                offs.append(off0)
+            bank_bytes[pg, off0] = content
             up[pg, off0] = 0
             dw[pg, off0] = 0
-            for o, a in zip(order, acc):
-                if a:
-                    up[pg, int(o)] = newdiff[int(o)]
             ops.append((pg + 32, content, offs[0], offs[1], offs[2], offs[3]))
         return ops
 
 
-def encode_movie_host(tables, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
+def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
                       seed: Optional[int] = None) -> np.ndarray:
     """Run the full planned movie on host; returns (n_ops, 6) int32."""
-    enc = HostEncoder(mode, tables, k=plan.k, seed=seed)
+    enc = HostEncoder(mode, dist, k=plan.k, seed=seed)
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
     out = []
@@ -162,6 +145,8 @@ def encode_movie_host(tables, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
         bank = int(plan.step_bank[s])
         if plan.step_recompute[s]:
             enc.recompute(lanes_tgt[f], bank)
-        out.extend(enc.step(lanes_tgt[f], bytes_tgt[f, bank], bank,
+        if plan.step_rebuild_cand[s]:
+            enc.rebuild_cand(lanes_tgt[f], bytes_tgt[f, bank], bank)
+        out.extend(enc.step(bytes_tgt[f, bank], bank,
                             int(plan.step_nvalid[s])))
     return np.asarray(out, dtype=np.int32)

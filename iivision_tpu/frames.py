@@ -179,14 +179,14 @@ def ingest(source, mode: VideoMode, palette: Palette,
     if not batch:
         raise ValueError("No frames decoded from source")
 
-    rgb = np.stack(batch).astype(np.float32)  # (F_enc, 192, 140, 3)
+    rgb = np.stack(batch)  # (F_enc, 192, 140, 3) uint8 (cast on device)
     if mode == VideoMode.DHGR:
         if dither_mode == "ordered":
             main, aux = _jit_quantize(VideoMode.DHGR, palette)(rgb)
             main, aux = np.asarray(main), np.asarray(aux)
         else:
             codes = np.stack([
-                dither.quantize_error_diffusion(f, palette,
+                dither.quantize_error_diffusion(f.astype(np.float32), palette,
                                                 kernel=dither_mode)
                 for f in rgb])
             main, aux = dither.dhgr_codes_to_memory(codes)

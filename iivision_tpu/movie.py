@@ -15,28 +15,22 @@ import numpy as np
 
 from iivision_tpu import audio as audio_mod
 from iivision_tpu import encoder, frames
-from iivision_tpu.ops import editdist
 from iivision_tpu.palettes import Palette
 from iivision_tpu.stream.framing import StreamFramer
 from iivision_tpu.stream.opcodes import Header
 from iivision_tpu.video_mode import VideoMode
 
 
-def get_tables(mode: VideoMode, palette: Palette,
-               data_dir: Optional[str] = None,
-               backend: str = "auto"):
-    """Load cached edit-distance LUTs or build them on-device.
+def get_distance(mode: VideoMode, palette: Palette):
+    """Distance model for the encoder (store-cost slab, built in seconds).
 
-    Building takes seconds on TPU (vs the reference's ~90 CPU-minutes,
-    reference README.md:61-67); an existing reference-layout npz (drop-in
-    compatible with the reference's data files) is used when present.
+    The reference-compatible full LUT npz artifacts remain available via
+    ops/editdist (build_tables/save_tables) but the encoder does not need
+    them - it computes distances on the fly (see ops/distance.py).
     """
-    import jax.numpy as jnp
+    from iivision_tpu.ops import distance
 
-    path = editdist.table_path(mode, palette, data_dir)
-    if os.path.exists(path):
-        return jnp.asarray(editdist.load_tables(mode, palette, data_dir))
-    return editdist.build_tables(mode, palette, backend=backend)
+    return distance.ComputedDistance(mode, palette)
 
 
 class Movie:
@@ -54,8 +48,7 @@ class Movie:
             seed: int = 0,
             frames_source=None,
             audio_source: Optional[audio_mod.Audio] = None,
-            tables=None,
-            data_dir: Optional[str] = None,
+            dist=None,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -95,8 +88,8 @@ class Movie:
         self.timings["audio_s"] = time.time() - t0
 
         t0 = time.time()
-        self.tables = (tables if tables is not None
-                       else get_tables(video_mode, palette, data_dir))
+        self.dist = dist if dist is not None else get_distance(
+            video_mode, palette)
         self.timings["tables_s"] = time.time() - t0
 
     def encode_ops(self):
@@ -121,7 +114,7 @@ class Movie:
 
         t0 = time.time()
         ops_dev, fin_main, fin_aux = encoder.encode_movie(
-            self.tables, lanes_tgt, bytes_tgt, plan, self.video_mode,
+            self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
             seed=self.seed)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0

@@ -1,0 +1,162 @@
+"""On-the-fly perceptual distances: the encoder's gather-free compute path.
+
+The reference (and our ops/editdist.py artifact generator) materialises the
+full pairwise edit-distance LUT: 512MB-1GB of uint16 indexed by
+(src_lane << B) + tgt_lane.  Random gathers from tables that size run at
+~80M elements/s on TPU - they were the encoder's bottleneck.  This module
+computes the same distances directly:
+
+- `dist_pairs`: the diagonal Damerau-Levenshtein recurrence (see
+  ops/editdist.py for the proof it equals the reference's metric) evaluated
+  *elementwise* on arrays of lane-value pairs.  Substitution costs come from
+  a 16x16 CIE2000 matrix via one-hot contractions - pure VPU/MXU work, zero
+  gathers.  Used for the per-chunk diff recompute (current screen vs target).
+- `store_cost_table`: D(masked_update(t, c), t) for every (lane value t,
+  content c) - only (n_lanes, 2^B, n_contents) f32 (4-32MB), computed once
+  per (mode, palette) in milliseconds.  The encoder turns it into a
+  per-frame cost slab with one one-hot matmul at frame boundaries, making
+  companion-offset evaluation a tiny batched contraction per step.
+
+Equality with the LUT path is exact (same recurrence, integer values) and
+tested against the scalar oracle.
+"""
+
+import functools
+
+import numpy as np
+
+from iivision_tpu import palettes, screen
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+TRANSPOSE_COST = 1.0
+BIG = 1e9
+
+
+def lane_pixels(vals, mode: VideoMode, lane: int):
+    """Masked lane values -> (..., L) pixel colour codes (jnp or numpy).
+
+    Vectorised masked-value -> dots -> sliding-window colour extraction at
+    the lane's NTSC phase (reference transcoder/colours.py:100-134).
+    """
+    xp = screen._xp(vals)
+    spec = screen.spec_for_mode(mode)
+    dots = spec.to_dots(vals.astype(xp.int32), lane)
+    L = int(spec.MASKED_DOTS)
+    ph = spec.PHASES[lane]
+    cols = []
+    for i in range(L):
+        w = (dots >> i) & 0xF
+        r = (ph + i) % 4
+        if r:
+            w = ((w << r) | (w >> (4 - r))) & 0xF
+        cols.append(w)
+    return xp.stack(cols, axis=-1)
+
+
+def dist_pixel_pairs(pa, pb, sub16):
+    """Elementwise diagonal DP distance between pixel-code arrays.
+
+    pa, pb: (..., L) int codes; sub16: (16, 16) float costs.
+    Returns (...,) float32 distances (exact integers).  Works for jnp and
+    numpy inputs.
+    """
+    xp = screen._xp(pa)
+    L = pa.shape[-1]
+    eye = xp.arange(16, dtype=pa.dtype)
+    oa = (pa[..., None] == eye).astype(sub16.dtype)  # (..., L, 16)
+    ob = (pb[..., None] == eye).astype(sub16.dtype)
+    # sub_k = C[a_k, b_k] via one-hot contraction (no gathers)
+    sub_all = xp.einsum("...ki,ij,...kj->...k", oa, sub16, ob)
+    # adjacent-transposition eligibility
+    swap = (pa[..., 1:] == pb[..., :-1]) & (pa[..., :-1] == pb[..., 1:])
+    swap = swap.astype(sub16.dtype)
+
+    d_m2 = xp.zeros(pa.shape[:-1], sub16.dtype)
+    d_m1 = sub_all[..., 0]
+    for k in range(1, L):
+        dk = d_m1 + sub_all[..., k]
+        dk = xp.minimum(dk, d_m2 + TRANSPOSE_COST
+                        + (1.0 - swap[..., k - 1]) * BIG)
+        d_m2, d_m1 = d_m1, dk
+    return d_m1
+
+
+def dist_lane_pairs(va, vb, mode: VideoMode, lane: int, sub16):
+    """Distance between masked-lane value arrays (elementwise pairs)."""
+    return dist_pixel_pairs(lane_pixels(va, mode, lane),
+                            lane_pixels(vb, mode, lane), sub16)
+
+
+@functools.lru_cache(None)
+def sub16(palette: Palette) -> np.ndarray:
+    return palettes.diff_matrix(palette).astype(np.float32)
+
+
+def n_contents(mode: VideoMode) -> int:
+    """Distinct content bytes a store can carry: DHGR bytes are 7-bit
+    (palette bit unused, reference video.py:135-137), HGR full 8-bit."""
+    return 128 if mode == VideoMode.DHGR else 256
+
+
+@functools.lru_cache(None)
+def store_cost_table(mode: VideoMode, palette: Palette):
+    """(n_lanes, 2^B, n_contents) f32: cost of storing content c over a
+    target whose lane window is t - D(masked_update(t, c), t).
+
+    This is the whole distance model the encoder needs: companion-offset
+    costs read it directly, and residual priorities are exactly these values
+    (reference byte_pair_difference, screen.py:383-398, evaluated against
+    the target's packed data as in video.py:163-170).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    spec = screen.spec_for_mode(mode)
+    n = 1 << int(spec.MASKED_BITS)
+    C = n_contents(mode)
+    sub = jnp.asarray(sub16(palette))
+    chunk = 256  # bound the one-hot transients to ~tens of MB
+
+    @jax.jit
+    def build():
+        c = jnp.arange(C, dtype=jnp.int32)[None, :]  # (1, C)
+        outs = []
+        for lane in range(int(spec.N_LANES)):
+            def one_chunk(t0, lane=lane):
+                t = (t0 * chunk
+                     + jnp.arange(chunk, dtype=jnp.int32))[:, None]
+                if mode == VideoMode.DHGR:
+                    new = spec.masked_update(t, c)
+                else:
+                    new = spec.masked_update(t, c, lane)
+                tt = jnp.broadcast_to(t, (chunk, C))
+                return dist_lane_pairs(new, tt, mode, lane, sub)
+
+            rows = jax.lax.map(one_chunk,
+                               jnp.arange(n // chunk, dtype=jnp.int32))
+            outs.append(rows.reshape(n, C))
+        return jnp.stack(outs)
+
+    return build()
+
+
+class ComputedDistance:
+    """Distance provider for the encoder: store-cost slab + on-the-fly DP.
+
+    Replaces the LUT tables; all members are small device arrays.
+    """
+
+    def __init__(self, mode: VideoMode, palette: Palette):
+        self.mode = mode
+        self.palette = palette
+        self.spec = screen.spec_for_mode(mode)
+        self.store_cost = store_cost_table(mode, palette)  # (L, N, C) f32
+        import jax.numpy as jnp
+        self.sub = jnp.asarray(sub16(palette))
+        self.n_contents = n_contents(mode)
+
+    def lane_diff(self, cur_lane_vals, tgt_lane_vals, lane: int):
+        """D(cur, tgt) elementwise - used at chunk-start recomputes."""
+        return dist_lane_pairs(cur_lane_vals, tgt_lane_vals, self.mode,
+                               lane, self.sub)

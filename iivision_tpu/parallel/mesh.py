@@ -2,15 +2,14 @@
 
 The reference's only parallelism is a single frame-conversion worker thread
 (reference transcoder/frame_grabber.py:66-130); transcode itself is strictly
-sequential Python.  Here the whole-movie encode scan (encoder.py) is
-batched with `vmap` and sharded over a `jax.sharding.Mesh` - movies are
-independent, so data parallelism over the batch axis scales linearly across
-chips with zero collectives on the hot path; the edit-distance LUTs are
-replicated (they are read-only gather tables).
+sequential Python.  Here the whole-movie encode scan (encoder.py) is batched
+with `vmap` and sharded over a `jax.sharding.Mesh` - movies are independent,
+so data parallelism over the batch axis scales linearly across chips with
+zero collectives on the hot path; the small distance tables (store-cost +
+CIE2000 matrix) are replicated.
 
-Tables can also be *generated* sharded: `editdist` matmul blocks partition
-naturally over the row axis of the pair matrix (see
-build_tables_sharded).
+Edit-distance LUT *artifact generation* (ops/editdist.py) also shards: the
+pair-matrix row blocks are independent (build_tables_sharded).
 """
 
 import functools
@@ -51,54 +50,47 @@ def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
     import jax
 
     scan = encoder._build_encode_scan(mode, k, deterministic)
-
-    def one(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
-            step_recompute, step_nvalid, key):
-        return scan(tables, lanes_tgt, bytes_tgt, step_frame, step_bank,
-                    step_recompute, step_nvalid, key)
-
-    batched = jax.vmap(one, in_axes=(None, 0, 0, None, None, None, None, 0))
+    batched = jax.vmap(
+        scan, in_axes=(None, None, 0, 0, None, None, None, None, None, 0))
     return jax.jit(batched)
 
 
-def encode_movies_batch(tables, lanes_tgt_b, bytes_tgt_b,
+def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
                         plan: encoder.MoviePlan, mode: VideoMode,
                         seeds, mesh=None):
     """Encode a batch of equal-schedule movies, sharded over the mesh.
 
     lanes_tgt_b: (B, F, 32, 128, L); bytes_tgt_b: (B, F, 2, 32, 256);
     seeds: (B,) ints.  All movies share `plan` (same tick count and frame
-    schedule - e.g. fixed-length clips); for mixed-length batches group by
-    plan shape.  Returns (ops (B, S, K, 6), final main, final aux).
+    schedule - e.g. fixed-length clips); group mixed-length batches by plan.
+    Returns (ops (B, S, K, 6), final main (B,32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    spec = screen.spec_for_mode(mode)
     fn = _jitted_batch_encode(mode, plan.k, False)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+    store_cost = jnp.asarray(dist.store_cost)
+    sub = jnp.asarray(dist.sub)
 
     if mesh is not None:
         lanes_tgt_b = shard_batch(lanes_tgt_b, mesh)
         bytes_tgt_b = shard_batch(bytes_tgt_b, mesh)
         keys = shard_batch(keys, mesh)
-        tables = replicate(jnp.asarray(tables), mesh)
+        store_cost = replicate(store_cost, mesh)
+        sub = replicate(sub, mesh)
 
-    tables_t = tuple(tables[l] for l in range(int(spec.N_LANES)))
-    return fn(tables_t, lanes_tgt_b, bytes_tgt_b,
+    return fn(store_cost, sub, lanes_tgt_b, bytes_tgt_b,
               jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
               jnp.asarray(plan.step_recompute),
+              jnp.asarray(plan.step_rebuild_cand),
               jnp.asarray(plan.step_nvalid), keys)
 
 
 def build_tables_sharded(mode: VideoMode, palette, mesh,
                          axis: str = "movies"):
-    """Edit-distance table generation sharded over the mesh.
-
-    The (N, N) pair matrix row-blocks are independent; sharding the row axis
-    of the code list partitions the DP matmuls across chips with no
-    communication until the final all-gather implied by the output sharding.
-    """
+    """Edit-distance LUT generation sharded over the mesh (row blocks of the
+    pair matrix are independent; no communication until output gather)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

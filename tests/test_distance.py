@@ -1,0 +1,74 @@
+"""Gather-free distance path: equality with the LUT recurrence / oracle."""
+
+import numpy as np
+import pytest
+
+from iivision_tpu.ops import distance, editdist
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+
+@pytest.mark.parametrize("mode,lane", [
+    (VideoMode.DHGR, 0), (VideoMode.DHGR, 3), (VideoMode.HGR, 1)])
+def test_lane_pixels_matches_editdist(mode, lane):
+    rng = np.random.RandomState(0)
+    spec_bits = 13 if mode == VideoMode.DHGR else 14
+    vals = rng.randint(0, 1 << spec_bits, size=64).astype(np.int64)
+    got = distance.lane_pixels(vals, mode, lane)
+    all_codes = editdist.lane_pixel_codes(mode, lane)
+    assert np.array_equal(np.asarray(got), all_codes[vals])
+
+
+def test_dist_lane_pairs_matches_oracle():
+    import jax.numpy as jnp
+    mode = VideoMode.DHGR
+    sub = distance.sub16(Palette.NTSC)
+    codes = editdist.lane_pixel_codes(mode, 2)
+    rng = np.random.RandomState(1)
+    va = rng.randint(0, 1 << 13, 64).astype(np.int64)
+    vb = rng.randint(0, 1 << 13, 64).astype(np.int64)
+    got = np.asarray(distance.dist_lane_pairs(
+        jnp.asarray(va), jnp.asarray(vb), mode, 2, jnp.asarray(sub)))
+    for i in range(64):
+        want = editdist.dam_lev_scalar(codes[va[i]], codes[vb[i]],
+                                       sub.astype(np.int32))
+        assert got[i] == want, (i, got[i], want)
+
+
+@pytest.mark.parametrize("mode", [VideoMode.DHGR, VideoMode.HGR])
+def test_store_cost_table_matches_oracle(mode):
+    sc = np.asarray(distance.store_cost_table(mode, Palette.NTSC))
+    spec_bits = 13 if mode == VideoMode.DHGR else 14
+    n_lanes = 4 if mode == VideoMode.DHGR else 2
+    C = distance.n_contents(mode)
+    assert sc.shape == (n_lanes, 1 << spec_bits, C)
+    sub = distance.sub16(Palette.NTSC).astype(np.int32)
+
+    from iivision_tpu import screen
+    spec = screen.spec_for_mode(mode)
+    rng = np.random.RandomState(2)
+    for _ in range(20):
+        lane = rng.randint(n_lanes)
+        t = int(rng.randint(1 << spec_bits))
+        c = int(rng.randint(C))
+        if mode == VideoMode.DHGR:
+            new = int(spec.masked_update(np.int64(t), c))
+        else:
+            new = int(spec.masked_update(np.int64(t), c, lane))
+        codes = editdist.lane_pixel_codes(mode, lane)
+        want = editdist.dam_lev_scalar(codes[new], codes[t], sub)
+        assert sc[lane, t, c] == want, (lane, t, c)
+    # storing the byte the target already holds costs nothing
+    # (t's own content bits replaced by themselves)
+    if mode == VideoMode.DHGR:
+        t = 0b1010101010101
+        own = (t >> 3) & 0x7F
+        assert sc[1, t, own] == 0.0
+
+
+def test_store_cost_zero_diagonal_distribution():
+    sc = np.asarray(distance.store_cost_table(VideoMode.DHGR, Palette.NTSC))
+    assert sc.min() >= 0
+    assert sc.max() < 2 ** 16
+    # every target window has at least one zero-cost content (its own byte)
+    assert np.all(sc.min(axis=2) == 0)

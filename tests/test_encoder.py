@@ -1,28 +1,20 @@
 """Encoder tests: movie planning, and differential host-oracle vs TPU-scan
-equivalence on synthetic tables and random targets."""
+equivalence using the real distance model."""
+
+import functools
 
 import numpy as np
 import pytest
 
 from iivision_tpu import encoder, encoder_host, screen
+from iivision_tpu.ops import distance
+from iivision_tpu.palettes import Palette
 from iivision_tpu.video_mode import VideoMode
 
 
-def synth_tables(mode: VideoMode, seed: int = 0) -> np.ndarray:
-    """Synthetic symmetric zero-diagonal LUTs (structure-preserving, cheap)."""
-    spec = screen.spec_for_mode(mode)
-    bits = int(spec.MASKED_BITS)
-    n = 1 << bits
-    a = np.arange(n, dtype=np.uint32)
-    tabs = []
-    for lane in range(int(spec.N_LANES)):
-        # symmetric hash-ish cost: f(min,max) with zero diagonal
-        lo = np.minimum(a[:, None], a[None, :])
-        hi = np.maximum(a[:, None], a[None, :])
-        t = ((lo * 31 + hi * 17 + lane * 7) % 997 + 1).astype(np.uint16)
-        t[a, a] = 0
-        tabs.append(t.reshape(-1))
-    return np.stack(tabs)
+@functools.lru_cache(None)
+def get_dist(mode, palette=Palette.NTSC):
+    return distance.ComputedDistance(mode, palette)
 
 
 def random_frames(mode, n_frames, seed=0):
@@ -44,16 +36,24 @@ def test_plan_movie_basic():
     assert plan.n_ops == 2449
     assert n_enc == 2
     assert plan.step_nvalid.sum() == plan.n_ops
-    # first chunk starts with a recompute on main bank, frame 0
-    assert plan.step_recompute[0]
+    assert plan.step_recompute[0] and plan.step_rebuild_cand[0]
     assert plan.step_bank[0] == 0
     assert plan.step_frame[0] == 0
     # banks alternate across 2KB segments
     assert plan.step_bank.max() == 1
-    # every chunk start (bank or frame change) is a recompute
-    changes = np.flatnonzero(
-        np.diff(plan.step_frame) != 0) + 1
+    # every chunk start is a recompute; frame changes are new_frame
+    changes = np.flatnonzero(np.diff(plan.step_frame) != 0) + 1
     assert plan.step_recompute[changes].all()
+    # candidate rebuilds: exactly one per (frame, bank) combo
+    combos = set(zip(plan.step_frame[plan.step_rebuild_cand].tolist(),
+                     plan.step_bank[plan.step_rebuild_cand].tolist()))
+    assert len(combos) == plan.step_rebuild_cand.sum()
+    # bank flips within a frame recompute priorities but only the first
+    # chunk of each (frame, bank) rebuilds candidates
+    bankflips = np.flatnonzero(
+        (np.diff(plan.step_bank) != 0)
+        & (np.diff(plan.step_frame) == 0)) + 1
+    assert plan.step_recompute[bankflips].all()
 
 
 def test_plan_movie_hgr_no_bank_flips():
@@ -63,13 +63,14 @@ def test_plan_movie_hgr_no_bank_flips():
         mode=VideoMode.HGR, k=4)
     assert plan.step_bank.max() == 0
     assert n_enc == 3
-    # recomputes happen exactly at encoded-frame changes
     rec = plan.step_recompute
     fr = plan.step_frame
     assert rec[0]
     changes = np.flatnonzero(np.diff(fr) != 0) + 1
     assert rec[changes].all()
     assert rec.sum() == len(changes) + 1
+    # in HGR every recompute is also a candidate rebuild (one bank)
+    assert np.array_equal(plan.step_recompute, plan.step_rebuild_cand)
 
 
 def test_plan_audio_limits_length():
@@ -88,7 +89,7 @@ def test_plan_audio_limits_length():
     (VideoMode.HGR, 4),
 ])
 def test_host_vs_scan_differential(mode, k):
-    tables = synth_tables(mode)
+    dist = get_dist(mode)
     fmain, faux = random_frames(mode, n_frames=2, seed=3)
     plan, n_enc = encoder.plan_movie(
         n_frames=2, n_audio_ticks=700, input_frame_rate=2100.0 / 700 * 2,
@@ -98,11 +99,11 @@ def test_host_vs_scan_differential(mode, k):
 
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
     ops_dev, fin_main, fin_aux = encoder.encode_movie(
-        tables, lanes_tgt, bytes_tgt, plan, mode, seed=None)
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None)
     tpu_ops = encoder.flatten_ops(np.asarray(ops_dev), plan)
 
     host_ops = encoder_host.encode_movie_host(
-        tables, lanes_tgt, bytes_tgt, plan, mode, seed=None)
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None)
 
     assert tpu_ops.shape == host_ops.shape == (plan.n_ops, 6)
     mismatch = np.nonzero((tpu_ops != host_ops).any(axis=1))[0]
@@ -111,43 +112,55 @@ def test_host_vs_scan_differential(mode, k):
             mismatch[0] if mismatch.size else -1,
             tpu_ops[mismatch[:3]], host_ops[mismatch[:3]]))
 
-    # final screen state identical too
-    henc = encoder_host.HostEncoder(mode, tables, k=k, seed=None)
-    # (re-run host to get final state)
-    host_ops2 = encoder_host.encode_movie_host(
-        tables, lanes_tgt, bytes_tgt, plan, mode, seed=None)
-    assert np.array_equal(host_ops, host_ops2)
+    # final screen state matches the host too
+    henc = encoder_host.HostEncoder(mode, dist, k=k, seed=None)
+    lanes_np, bytes_np = np.asarray(lanes_tgt), np.asarray(bytes_tgt)
+    for s in range(len(plan.step_frame)):
+        f = int(plan.step_frame[s])
+        b = int(plan.step_bank[s])
+        if plan.step_recompute[s]:
+            henc.recompute(lanes_np[f], b)
+        if plan.step_rebuild_cand[s]:
+            henc.rebuild_cand(lanes_np[f], bytes_np[f, b], b)
+        henc.step(bytes_np[f, b], b, int(plan.step_nvalid[s]))
+    assert np.array_equal(np.asarray(fin_main), henc.banks[0])
+    if mode == VideoMode.DHGR:
+        assert np.array_equal(np.asarray(fin_aux), henc.banks[1])
 
 
 def test_scan_converges_on_constant_frame():
-    """With a single constant target and enough opcodes, the encoder must
-    converge: late opcodes become padding and the screen equals the target
-    outside screen holes."""
-    mode = VideoMode.HGR
-    tables = synth_tables(mode)
-    rng = np.random.RandomState(0)
-    # sparse target: 4 pages of content, rest zero (so the op budget,
-    # ~1.5x the dirty-byte count, guarantees out-of-work padding)
-    fmain = np.zeros((1, 32, 256), dtype=np.uint8)
-    fmain[0, 4:8] = rng.randint(0, 256, size=(4, 256)).astype(np.uint8)
-    # zero the holes so convergence is total
-    fmain[0][screen.SCREEN_HOLES] = 0
+    """With a single constant target, enough opcodes, and a palette with no
+    duplicate colours (IIGS), the encoder must converge: late opcodes become
+    padding and the screen equals the target outside screen holes.
 
-    # one frame, lots of ticks
+    (NTSC has two identical greys, so zero distance does not imply byte
+    equality there - the reference documents the same caveat,
+    reference video.py:192-207.)
+    """
+    mode = VideoMode.DHGR
+    dist = get_dist(mode, Palette.IIGS)
+    rng = np.random.RandomState(0)
+    # sparse target: a few pages of content, rest zero
+    fmain = np.zeros((1, 32, 256), dtype=np.uint8)
+    faux = np.zeros((1, 32, 256), dtype=np.uint8)
+    fmain[0, 4:7] = rng.randint(0, 0x80, size=(3, 256)).astype(np.uint8)
+    faux[0, 4:7] = rng.randint(0, 0x80, size=(3, 256)).astype(np.uint8)
+    fmain[0][screen.SCREEN_HOLES] = 0
+    faux[0][screen.SCREEN_HOLES] = 0
+
     plan, _ = encoder.plan_movie(
-        n_frames=1, n_audio_ticks=4000, input_frame_rate=1.0,
-        ticks_per_second=4001.0, every_n_video_frames=1, mode=mode, k=8)
-    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, None, mode)
-    ops_dev, fin_main, _ = encoder.encode_movie(
-        tables, lanes_tgt, bytes_tgt, plan, mode, seed=0)
-    fin = np.asarray(fin_main)
-    tgt = fmain[0].astype(np.int32)
+        n_frames=1, n_audio_ticks=6000, input_frame_rate=1.0,
+        ticks_per_second=6001.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+    ops_dev, fin_main, fin_aux = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=0)
     live = ~screen.SCREEN_HOLES
-    # The synthetic table is a positive metric (zero iff equal lanes), so
-    # convergence implies byte equality on live cells.
-    assert np.array_equal(fin[live], tgt[live])
+    assert np.array_equal(np.asarray(fin_main)[live],
+                          fmain[0].astype(np.int32)[live])
+    assert np.array_equal(np.asarray(fin_aux)[live],
+                          faux[0].astype(np.int32)[live])
     # late ops are padding (page 32, offsets 0)
     flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
-    tail = flat[-100:]
+    tail = flat[-50:]
     assert np.all(tail[:, 0] == 32)
     assert np.all(tail[:, 2:] == 0)

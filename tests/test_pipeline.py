@@ -12,7 +12,7 @@ from iivision_tpu.palettes import Palette
 from iivision_tpu.sim import PlayerVM
 from iivision_tpu.video_mode import VideoMode
 
-from tests.test_encoder import synth_tables
+from tests.test_encoder import get_dist
 
 
 def gradient_movie(F=4, h=192, w=140, seed=0):
@@ -149,7 +149,7 @@ def test_movie_end_to_end(tmp_path, mode):
         video_mode=mode,
         palette=Palette.NTSC,
         k=8,
-        tables=synth_tables(mode),
+        dist=get_dist(mode),
     )
     # 4 frames at default 30fps = 0.133s of video; audio 0.3s; movie ends
     # when frame 5 would be pulled
@@ -185,7 +185,7 @@ def test_movie_silence_fallback(tmp_path):
     rgb = gradient_movie(F=2)
     np.savez(str(tmp_path / "clip.npz"), frames=rgb, frame_rate=30.0)
     m = Movie(str(tmp_path / "clip.npz"), every_n_video_frames=1,
-              video_mode=VideoMode.HGR, tables=synth_tables(VideoMode.HGR))
+              video_mode=VideoMode.HGR, dist=get_dist(VideoMode.HGR))
     out = str(tmp_path / "clip.a2m")
     m.transcode(out)
     res = PlayerVM().decode(open(out, "rb").read())

@@ -108,10 +108,10 @@ def test_decode_rejects_corruption(vm):
 def test_encoder_to_vm_end_to_end(vm):
     """Full pipeline: TPU-encoder ops -> framed stream -> player VM; the VM's
     final screen memory must equal the encoder's own model."""
-    from tests.test_encoder import synth_tables
+    from tests.test_encoder import get_dist
 
     mode = VideoMode.DHGR
-    tables = synth_tables(mode)
+    dist = get_dist(mode)
     rng = np.random.RandomState(11)
     F = 2
     fmain = rng.randint(0, 0x80, size=(F, 32, 256)).astype(np.uint8)
@@ -122,7 +122,7 @@ def test_encoder_to_vm_end_to_end(vm):
         ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
     ops_dev, fin_main, fin_aux = encoder.encode_movie(
-        tables, lanes_tgt, bytes_tgt, plan, mode, seed=7)
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=7)
     flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
 
     levels = rng.randint(-15, 17, size=plan.n_ops)
