@@ -1,0 +1,195 @@
+"""Full benchmark suite: the five BASELINE.json configs + a K quality sweep.
+
+Runs on real TPU; prints one JSON line per config to stdout (bench.py remains
+the single-headline driver benchmark).
+
+Configs (from /root/repo/BASELINE.json):
+  1. HGR NTSC, 10s clip, video-only (silent stream)
+  2. HGR + 14.7kHz 5-bit audio
+  3. DHGR NTSC with MAIN/AUX interleaving
+  4. DHGR IIGS palette at --audio_bitrate 22500 (//gs 2.8MHz profile)
+  5. batch of 10 movies + full edit-distance LUT regeneration
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from bench import synth_clip
+
+BASELINE_REALTIME_X = 0.2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def tone(seconds, bitrate):
+    n = int(seconds * bitrate)
+    return (np.sin(2 * np.pi * 440 * np.arange(n) / bitrate)
+            * 16000).astype(np.float32)
+
+
+def run_config(name, mode, palette, bitrate, silent, dists, k=32,
+               seconds=10.0):
+    from iivision_tpu import audio as audio_mod, encoder, quality
+    from iivision_tpu.movie import Movie
+    from iivision_tpu.sim import PlayerVM
+
+    rgb = synth_clip(seconds=seconds)
+    if silent:
+        aud = audio_mod.Audio(data=np.zeros(int(seconds * bitrate) + 1,
+                                            np.float32),
+                              rate=bitrate, bitrate=bitrate,
+                              normalization=1.0)
+    else:
+        aud = audio_mod.Audio(data=tone(seconds, bitrate), rate=bitrate,
+                              bitrate=bitrate)
+
+    def build():
+        return Movie(frames_source=rgb, audio_source=aud,
+                     every_n_video_frames=2, video_mode=mode,
+                     palette=palette, k=k, dist=dists[(mode, palette)])
+
+    m = build()
+    m.transcode("/tmp/bench_cfg_warm.a2m")  # compile
+    t0 = time.time()
+    m = build()
+    stats = m.transcode("/tmp/bench_cfg.a2m")
+    wall = time.time() - t0
+    rt = stats["movie_seconds"] / wall
+
+    data = open("/tmp/bench_cfg.a2m", "rb").read()
+    res = PlayerVM().decode(data)
+    assert res.ok, (name, res.error, res.error_pos)
+    assert res.n_ops == stats["n_ops"]
+
+    flat, _ = m.encode_ops()
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, mode)
+    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, m.dist)
+
+    out = {
+        "config": name,
+        "realtime_x": round(rt, 2),
+        "vs_baseline": round(rt / BASELINE_REALTIME_X, 1),
+        "n_ops": stats["n_ops"],
+        "stream_bytes": len(data),
+        "playback_s": round(res.playback_seconds, 2),
+        "mean_error": round(rep.mean_error, 2),
+        "final_error": round(rep.final_error, 2),
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def k_sweep(dists):
+    from iivision_tpu import audio as audio_mod, encoder, quality
+    from iivision_tpu.movie import Movie
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.video_mode import VideoMode
+
+    rgb = synth_clip(seconds=5.0)
+    aud = audio_mod.Audio(data=tone(5.0, 14700), rate=14700, bitrate=14700)
+    for k in (1, 8, 32):
+        m = Movie(frames_source=rgb, audio_source=aud,
+                  every_n_video_frames=2, video_mode=VideoMode.DHGR,
+                  palette=Palette.NTSC, k=k,
+                  dist=dists[(VideoMode.DHGR, Palette.NTSC)])
+        flat, _ = m.encode_ops()
+        t0 = time.time()
+        m2 = Movie(frames_source=rgb, audio_source=aud,
+                   every_n_video_frames=2, video_mode=VideoMode.DHGR,
+                   palette=Palette.NTSC, k=k,
+                   dist=dists[(VideoMode.DHGR, Palette.NTSC)])
+        flat, _ = m2.encode_ops()
+        enc_wall = time.time() - t0
+        lanes_tgt, _ = encoder.prepare_targets(
+            m2.frames.targets_main, m2.frames.targets_aux, VideoMode.DHGR)
+        rep = quality.replay_frame_errors(flat, m2.plan, lanes_tgt,
+                                          VideoMode.DHGR, m2.dist)
+        print(json.dumps({
+            "config": "k_sweep", "k": k,
+            "encode_realtime_x": round(5.0 / enc_wall, 2),
+            "mean_error": round(rep.mean_error, 2),
+            "final_error": round(rep.final_error, 2),
+        }), flush=True)
+
+
+def main():
+    import jax
+    from iivision_tpu.movie import get_distance
+    from iivision_tpu.ops import editdist
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.parallel import mesh as pmesh
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+    from iivision_tpu.video_mode import VideoMode
+    import jax.numpy as jnp
+    from iivision_tpu import audio as audio_mod, encoder
+
+    log("backend:", jax.default_backend(), jax.devices())
+    dists = {}
+    for mode, pal in [(VideoMode.HGR, Palette.NTSC),
+                      (VideoMode.DHGR, Palette.NTSC),
+                      (VideoMode.DHGR, Palette.IIGS)]:
+        t0 = time.time()
+        dists[(mode, pal)] = get_distance(mode, pal)
+        dists[(mode, pal)].store_cost.block_until_ready()
+        log("distance model %s/%s: %.1fs" % (mode.name, pal.name,
+                                             time.time() - t0))
+
+    run_config("hgr_ntsc_video_only", VideoMode.HGR, Palette.NTSC,
+               14700, True, dists)
+    run_config("hgr_ntsc_audio", VideoMode.HGR, Palette.NTSC,
+               14700, False, dists)
+    run_config("dhgr_ntsc_audio", VideoMode.DHGR, Palette.NTSC,
+               14700, False, dists)
+    run_config("dhgr_iigs_22500", VideoMode.DHGR, Palette.IIGS,
+               22500, False, dists)
+
+    # 5. batch of 10 movies + LUT regeneration
+    t0 = time.time()
+    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
+    tables.block_until_ready()
+    t_tables = time.time() - t0
+    del tables
+
+    rgb = synth_clip(seconds=10.0)
+    aud = audio_mod.Audio(data=tone(10.0, 14700), rate=14700, bitrate=14700)
+    from iivision_tpu.movie import Movie
+    m = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
+              video_mode=VideoMode.DHGR, palette=Palette.NTSC, k=32,
+              dist=dists[(VideoMode.DHGR, Palette.NTSC)])
+    m.encode_ops()  # compile + plan
+    B = 10
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
+    lanes_b = jnp.broadcast_to(lanes_tgt, (B,) + lanes_tgt.shape)
+    bytes_b = jnp.broadcast_to(bytes_tgt, (B,) + bytes_tgt.shape)
+    levels = np.asarray(m.audio.levels())[:m.plan.n_ops]
+    d = dists[(VideoMode.DHGR, Palette.NTSC)]
+    r = pmesh.encode_movies_batch(d, lanes_b, bytes_b, m.plan,
+                                  VideoMode.DHGR, np.arange(B))
+    jax.tree.map(lambda x: x.block_until_ready(), r)  # compile
+    t0 = time.time()
+    ops_b, _, _ = pmesh.encode_movies_batch(d, lanes_b, bytes_b, m.plan,
+                                            VideoMode.DHGR,
+                                            np.arange(1, B + 1))
+    ops_np = np.asarray(ops_b)
+    streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
+                                levels, VideoMode.DHGR) for i in range(B)]
+    wall = time.time() - t0
+    print(json.dumps({
+        "config": "batch10_plus_tablegen",
+        "batch_realtime_x": round(B * 10.0 / wall, 2),
+        "tablegen_s": round(t_tables, 1),
+        "tablegen_vs_baseline_min": round(90 * 60 / t_tables, 1),
+    }), flush=True)
+
+    k_sweep(dists)
+
+
+if __name__ == "__main__":
+    main()

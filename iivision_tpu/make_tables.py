@@ -1,0 +1,49 @@
+"""CLI: generate reference-compatible edit-distance LUT artifacts.
+
+Equivalent of the reference's `make_data_tables.py` (~90 minutes on CPU,
+reference README.md:61-67); here seconds per mode/palette on a TPU chip.
+Output npz files are drop-in replacements for the reference's
+transcoder/data/*.npz (upper-triangle layout, symmetrised at load).
+
+Usage:
+    python -m iivision_tpu.make_tables [--data_dir DIR] [--modes HGR DHGR]
+                                       [--palettes NTSC IIGS]
+"""
+
+import argparse
+import time
+
+from iivision_tpu.ops import editdist
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+
+def main(args=None):
+    parser = argparse.ArgumentParser(
+        description="Generate (D)HGR edit-distance tables.")
+    parser.add_argument("--data_dir", default=None,
+                        help="Output directory (default: package data/).")
+    parser.add_argument("--modes", nargs="+", default=["HGR", "DHGR"],
+                        choices=[m.name for m in VideoMode])
+    parser.add_argument("--palettes", nargs="+", default=["NTSC", "IIGS"],
+                        choices=[p.name for p in Palette if p.value >= 0])
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "xla", "pallas"])
+    a = parser.parse_args(args)
+
+    for pal_name in a.palettes:
+        for mode_name in a.modes:
+            mode, pal = VideoMode[mode_name], Palette[pal_name]
+            t0 = time.time()
+            tables = editdist.build_tables(mode, pal, backend=a.backend)
+            tables.block_until_ready()
+            t_build = time.time() - t0
+            t0 = time.time()
+            path = editdist.save_tables(tables, mode, pal, a.data_dir)
+            print("%s/%s: built %.1fs, saved %.1fs -> %s"
+                  % (mode_name, pal_name, t_build, time.time() - t0, path))
+            del tables
+
+
+if __name__ == "__main__":
+    main()

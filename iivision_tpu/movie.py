@@ -49,6 +49,7 @@ class Movie:
             frames_source=None,
             audio_source: Optional[audio_mod.Audio] = None,
             dist=None,
+            frame_rate: Optional[float] = None,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -65,7 +66,8 @@ class Movie:
             frames_source if frames_source is not None else filename,
             video_mode, palette,
             every_n_video_frames=every_n_video_frames,
-            dither_mode=dither_mode)
+            dither_mode=dither_mode,
+            frame_rate=frame_rate)
         self.timings["frames_s"] = time.time() - t0
 
         t0 = time.time()

@@ -1,0 +1,93 @@
+"""Output-quality metrics: per-frame perceptual error and PSNR.
+
+The reference's only quality signal is a printed mean of the update-priority
+array (reference transcoder/video.py:90); this module provides real metrics:
+
+- `replay_frame_errors`: replay an emitted opcode stream against the frame
+  schedule (exactly as the player executes it) and score the screen at each
+  encoded-frame boundary with the same CIE2000 edit-distance metric the
+  encoder optimises - the fidelity number to compare encoder settings (K, J,
+  dither) and the reference encoder on equal footing;
+- PSNR between rendered screens and source frames (render.py).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from iivision_tpu import screen
+from iivision_tpu.ops import distance
+from iivision_tpu.video_mode import VideoMode
+
+
+@dataclass
+class QualityReport:
+    frame_errors: np.ndarray  # (F,) mean lane distance at frame end
+    final_error: float
+    mean_error: float
+
+    def summary(self) -> dict:
+        return dict(final_error=float(self.final_error),
+                    mean_error=float(self.mean_error))
+
+
+def _screen_error(banks, tgt_lanes, mode, sub) -> float:
+    """Mean perceptual distance between current screen and target lanes."""
+    if mode == VideoMode.DHGR:
+        cur = screen.dhgr_masked_lanes(banks[0], banks[1])
+    else:
+        cur = screen.hgr_masked_lanes(banks[0])
+    spec = screen.spec_for_mode(mode)
+    total = 0.0
+    n = 0
+    for l in range(int(spec.N_LANES)):
+        d = np.asarray(distance.dist_lane_pairs(
+            cur[:, :, l], tgt_lanes[:, :, l], mode, l, sub))
+        total += d.sum()
+        n += d.size
+    return float(total / n)
+
+
+def replay_frame_errors(flat_ops: np.ndarray, plan, lanes_tgt,
+                        mode: VideoMode, dist) -> QualityReport:
+    """Replay the opcode stream and score each encoded frame's endpoint."""
+    lanes_tgt = np.asarray(lanes_tgt)
+    sub = np.asarray(dist.sub, dtype=np.float64)
+    banks = np.zeros((2, 32, 256), np.int32)
+
+    # bank + frame of each op, from the plan
+    op_bank, op_frame = [], []
+    for s in range(len(plan.step_frame)):
+        op_bank.extend([int(plan.step_bank[s])] * int(plan.step_nvalid[s]))
+        op_frame.extend([int(plan.step_frame[s])] * int(plan.step_nvalid[s]))
+    op_bank = np.asarray(op_bank)
+    op_frame = np.asarray(op_frame)
+
+    errors = []
+    n = len(flat_ops)
+    boundaries = np.flatnonzero(np.diff(op_frame)) .tolist() + [n - 1]
+    pos = 0
+    for b in boundaries:
+        while pos <= b:
+            page, content = int(flat_ops[pos, 0]) - 32, int(flat_ops[pos, 1])
+            bank = op_bank[pos]
+            # padding ops aren't applied by the encoder model but ARE by the
+            # player; replay matches the player
+            for o in flat_ops[pos, 2:]:
+                banks[bank, page, int(o)] = content
+            pos += 1
+        f = op_frame[b]
+        errors.append(_screen_error(banks, lanes_tgt[f], mode, sub))
+    errors = np.asarray(errors)
+    return QualityReport(frame_errors=errors,
+                         final_error=errors[-1],
+                         mean_error=float(errors.mean()))
+
+
+def stream_psnr(main, aux, source_rgb, mode: VideoMode, palette,
+                reference_rgb: Optional[np.ndarray] = None) -> float:
+    """PSNR of a rendered screen against the source frame (both 140x192)."""
+    from iivision_tpu import render
+    out = render.screen_to_rgb(main, aux, mode, palette)
+    return render.psnr(out, source_rgb)

@@ -1,0 +1,83 @@
+"""Renderer + quality metric tests."""
+
+import numpy as np
+
+from iivision_tpu import render
+from iivision_tpu.ops import dither
+from iivision_tpu.palettes import Palette, palette_rgb_array
+from iivision_tpu.video_mode import VideoMode
+
+
+def test_dhgr_render_roundtrip():
+    """quantize codes -> memory -> render recovers the codes' colours."""
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 16, size=(192, 140)).astype(np.int32)
+    main, aux = dither.dhgr_codes_to_memory(codes)
+    got = render.dhgr_screen_codes(np.asarray(main), np.asarray(aux))
+    assert np.array_equal(got, codes)
+
+
+def test_dhgr_render_solid_rgb():
+    pal = palette_rgb_array(Palette.NTSC)
+    codes = np.full((192, 140), 12, np.int32)
+    main, aux = dither.dhgr_codes_to_memory(codes)
+    rgb = render.screen_to_rgb(np.asarray(main), np.asarray(aux),
+                               VideoMode.DHGR, Palette.NTSC)
+    assert np.allclose(rgb, pal[12])
+
+
+def test_hgr_render_solid_colours():
+    # solid white bytes render as white everywhere
+    main = np.full((32, 256), 0x7F, np.uint8)
+    codes = render.hgr_screen_codes(main)
+    assert (codes == 0b1111).mean() > 0.95
+    # black renders black
+    assert np.all(render.hgr_screen_codes(np.zeros((32, 256), np.uint8)) == 0)
+    # violet alternating pattern: quantize + render roundtrip
+    vcodes = np.full((192, 140), 0b0011, np.int32)
+    dots = np.asarray(dither.hgr_desired_dots(vcodes))
+    by = np.asarray(dither.hgr_dots_to_bytes(dots))
+    mem = np.asarray(dither.hgr_bytes_to_memory(by))
+    got = render.hgr_screen_codes(mem)
+    assert (got == 0b0011).mean() > 0.9
+
+
+def test_psnr_basics():
+    a = np.zeros((10, 10, 3))
+    assert render.psnr(a, a) == float("inf")
+    b = a + 10.0
+    assert abs(render.psnr(a, b) - (20 * np.log10(255 / 10))) < 1e-6
+
+
+def test_quality_end_to_end_converged():
+    """An encoded movie's replay error must decrease and the PSNR of the
+    final screen against the quantized target must be perfect."""
+    from iivision_tpu import audio as audio_mod, encoder, quality
+    from iivision_tpu.movie import Movie
+    from tests.test_encoder import get_dist
+    from tests.test_pipeline import gradient_movie
+
+    mode = VideoMode.DHGR
+    rgb = gradient_movie(F=2)
+    aud = audio_mod.Audio(data=np.zeros(29000, np.float32), rate=14700,
+                          bitrate=14700, normalization=1.0)
+    # ~1 fps: each frame gets ~14700 opcodes, plenty to converge
+    m = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=1,
+              video_mode=mode, dist=get_dist(mode), k=8, frame_rate=1.0)
+    flat, levels = m.encode_ops()
+
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, mode)
+    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode,
+                                      m.dist)
+    assert len(rep.frame_errors) == 2
+    # with ~2500 ops per frame the second frame must be well converged
+    assert rep.final_error < 1.0
+    # rendering the final screen matches rendering the target screen almost
+    # everywhere (NTSC grey duplicates allow zero-distance byte diffs)
+    tgt_rgb = np.asarray(render.screen_to_rgb(
+        m.frames.targets_main[-1], m.frames.targets_aux[-1], mode,
+        Palette.NTSC))
+    got_rgb = render.screen_to_rgb(m.final_main, m.final_aux, mode,
+                                   Palette.NTSC)
+    assert render.psnr(got_rgb, tgt_rgb) > 30.0

@@ -1,0 +1,102 @@
+"""Hardware-golden HGR colour tests, transcribed from Sather,
+*Understanding the Apple IIe* Fig 8.15.
+
+These are the reference's correctness anchor for the colour model (reference
+transcoder/screen_test.py:634-1133): palette-bit fringing across byte
+boundaries - "extend violet into light blue", "cut off blue with black", etc.
+Here they validate our masked-lane pipeline end to end: raw screen bytes ->
+hgr_masked_lanes -> hgr_to_dots -> sliding-window colour codes.
+"""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import colours, screen
+from iivision_tpu.colours import HGRColours as C
+
+
+def lane_colours(byte_values, lane):
+    """Screen bytes at offsets 0..2 of page 0 -> 18 colour codes of the
+    masked window for the given lane (byte offset) of column pair 0."""
+    main = np.zeros((32, 256), dtype=np.uint8)
+    for off, val in byte_values.items():
+        main[0, off] = val
+    lanes = screen.hgr_masked_lanes(main)
+    masked = int(lanes[0, 0, lane])
+    dots = int(screen.hgr_to_dots(np.array([masked]), lane)[0])
+    codes = colours.dots_to_pixels_vec(
+        np.array([dots]), num_bits=18,
+        init_phase=screen.HGR.PHASES[lane])[0]
+    return tuple(C(int(v)) for v in codes)
+
+
+def test_nominal_colours_solid_violet():
+    # alternating 01010101 / 00101010 bytes = solid violet
+    # (reference screen_test.py:643-718, including the packed layout check)
+    got0 = lane_colours({0: 0b01010101, 1: 0b00101010, 2: 0b01010101}, 0)
+    assert got0 == (C.MAGENTA,) + (C.VIOLET,) * 17
+    got1 = lane_colours({0: 0b01010101, 1: 0b00101010, 2: 0b01010101}, 1)
+    assert got1 == (C.VIOLET,) * 18
+
+
+SATHER_CASES = [
+    # (name, {offset: byte}, lane, expected colours)
+    ("even_1 extend violet into light blue",
+     {0: 0b01000000, 1: 0b10000000}, 0,
+     [C.BLACK] * 12 + [C.MAGENTA, C.VIOLET, C.LIGHT_BLUE, C.LIGHT_BLUE,
+                       C.MED_BLUE, C.DARK_GREEN]),
+    ("even_2 cut off blue with black -> dark blue",
+     {0: 0b11000000, 1: 0b00000000}, 0,
+     [C.BLACK] * 13 + [C.DARK_BLUE] * 4 + [C.BLACK]),
+    ("even_3 cut off blue with green -> aqua",
+     {0: 0b11000000, 1: 0b00000001}, 0,
+     [C.BLACK] * 13 + [C.DARK_BLUE, C.MED_BLUE, C.AQUA, C.AQUA, C.GREEN]),
+    ("even_4 cut off white with black -> pink",
+     {0: 0b11100000, 1: 0b00000000}, 0,
+     [C.BLACK] * 11 + [C.BROWN, C.ORANGE, C.PINK, C.PINK, C.VIOLET,
+                       C.DARK_BLUE, C.BLACK]),
+    ("even_5 cut off orange-black with green",
+     {0: 0b10100000, 1: 0b00000001}, 0,
+     [C.BLACK] * 11 + [C.BROWN, C.ORANGE, C.ORANGE, C.YELLOW, C.YELLOW,
+                       C.GREEN, C.GREEN]),
+    ("odd_1 extend green into light brown",
+     {1: 0b01000000, 2: 0b10000000}, 1,
+     [C.BLACK] * 12 + [C.DARK_GREEN, C.GREEN, C.YELLOW, C.YELLOW,
+                       C.ORANGE, C.MAGENTA]),
+    ("odd_2 cut off orange with black -> dark brown",
+     {1: 0b11000000, 2: 0b00000000}, 1,
+     [C.BLACK] * 13 + [C.BROWN] * 4 + [C.BLACK]),
+    ("odd_3 cut off orange with violet -> pink",
+     {1: 0b11000000, 2: 0b00000001}, 1,
+     [C.BLACK] * 13 + [C.BROWN, C.ORANGE, C.PINK, C.PINK, C.VIOLET]),
+    ("odd_4 cut off white with black -> aqua",
+     {1: 0b11100000, 2: 0b00000000}, 1,
+     [C.BLACK] * 11 + [C.DARK_BLUE, C.MED_BLUE, C.AQUA, C.AQUA, C.GREEN,
+                       C.BROWN, C.BLACK]),
+    ("odd_5 cut off blue-black with violet -> bright violet",
+     {1: 0b10100000, 2: 0b00000001}, 1,
+     [C.BLACK] * 11 + [C.DARK_BLUE, C.MED_BLUE, C.MED_BLUE, C.LIGHT_BLUE,
+                       C.LIGHT_BLUE, C.VIOLET, C.VIOLET]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,byte_values,lane,expect",
+    SATHER_CASES, ids=[c[0].split()[0] for c in SATHER_CASES])
+def test_sather_golden(name, byte_values, lane, expect):
+    got = lane_colours(byte_values, lane)
+    assert got == tuple(expect), (
+        "%s:\n got  %s\n want %s" % (name, got, tuple(expect)))
+
+
+def test_packed_layout_reference_case():
+    """The documented 22-bit packed value for the alternating-byte screen
+    (reference screen_test.py:652-657)."""
+    main = np.zeros((32, 256), dtype=np.uint8)
+    main[0, 0] = 0b01010101
+    main[0, 1] = 0b00101010
+    main[0, 2] = 0b01010101
+    lanes = screen.hgr_masked_lanes(main)
+    want = 0b0100101010001010101000
+    assert int(lanes[0, 0, 0]) == want & 0x3FFF
+    assert int(lanes[0, 0, 1]) == (want >> 8) & 0x3FFF
