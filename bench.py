@@ -110,7 +110,7 @@ def main():
     from iivision_tpu.stream.emit_fast import emit_stream_fast
 
     import jax.numpy as jnp
-    B = 16
+    B = 32
     lanes_tgt, bytes_tgt = encoder.prepare_targets(
         m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
     # device-resident batch (a production pipeline quantizes on device and
@@ -140,6 +140,34 @@ def main():
         % (B, batch_wall, batch_x))
     res_b = PlayerVM().decode(streams[-1])
     assert res_b.ok, res_b.error
+
+    # steady-state pipelined throughput: device encodes batch i+1 while the
+    # host emits batch i's byte streams (async dispatch overlaps them)
+    def encode_async(seed0):
+        return pmesh.encode_movies_batch(
+            dist, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
+            seeds=np.arange(seed0, seed0 + B))[0]
+
+    def emit_all(ops_np):
+        return [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
+                                 levels, VideoMode.DHGR) for i in range(B)]
+
+    R = 3
+    t0 = time.time()
+    prev = None
+    for r in range(R):
+        ops_dev = encode_async(r * B)  # async
+        if prev is not None:
+            emit_all(prev)  # host work overlaps device compute
+        prev = np.asarray(ops_dev)  # blocks on compute + transfer
+    streams = emit_all(prev)
+    pipe_wall = time.time() - t0
+    pipe_x = R * B * stats["movie_seconds"] / pipe_wall
+    log("pipelined %dx B=%d: %.2fs wall -> %.1fx realtime aggregate"
+        % (R, B, pipe_wall, pipe_x))
+    res_p = PlayerVM().decode(streams[-1])
+    assert res_p.ok, res_p.error
+    batch_x = max(batch_x, pipe_x)
 
     headline = max(realtime_x, batch_x)
     print(json.dumps({

@@ -234,49 +234,66 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         return jax.lax.cond(bank == 1, lambda: for_bank(1),
                             lambda: for_bank(0))
 
-    def build_cand(tgt_lanes, dw_b, store_cost16, bank):
-        """Ranked companion candidates for the active bank, per content byte.
+    def precompute_candidates(store_cost, sub, lanes_tgt):
+        """Ranked companion candidates for ALL frames and banks, built in one
+        batched pass before the scan (no sequential dependency).
 
-        For every (page, content c): delta[o] = cost(store c at o) - dw[o];
-        keep the J most negative as (offset, residual-cost) pairs, ties
-        resolved by lowest offset (deterministic - the per-op primary
-        selection keeps its random nonce, which is what prevents the
-        reference's "venetian blind" artifacts, reference video.py:262-267).
-        Scores are int16 (costs are < 2^12) so the top_k runs at half the
-        f32 bandwidth; residuals are recovered as dw[idx] - score, avoiding
-        a 2M-element take_along_axis.  Invalid slots get the INVALID_OFF
-        sentinel.  Returns (cand_off (32,C,J) int32, cand_resid (32,C,J)
-        f32).
+        For every (frame, bank, page, content c): delta0[o] = cost(store c
+        at o) - dw0[o], where dw0 approximates the screen state at the
+        frame's start by the *previous encoded target* (exact wherever the
+        previous frame converged; frame 0 uses the blank boot screen, which
+        is exact).  The J most negative deltas are kept as (offset,
+        residual-cost) pairs, ties to lowest offset.  At run time each
+        candidate is re-checked against live priorities AND the true current
+        diff (resid < dw), so the approximation only affects candidate
+        *ranking*, never correctness.
+
+        Returns (cand_off (F, n_banks, 32, C, J) int16 with INVALID_OFF
+        sentinel, cand_resid (F, n_banks, 32, C, J) int16).
         """
-        sc = build_sc(tgt_lanes, store_cost16, bank)  # (32, 256, C) i16
-        # delta[p, c, o] = sc[p, o, c] - dw[p, o]
-        delta = (sc.transpose(0, 2, 1).astype(jnp.int32)
-                 - dw_b[:, None, :])
-        eligible = (delta < 0) & (holes_i[:, None, :] > 0)
-        score = jnp.where(eligible, -delta, -1).astype(jnp.int16)
-        top, idx = jax.lax.top_k(score, J)  # (32, C, J)
-        dw_sel = jax.vmap(jnp.take)(
-            dw_b, idx.reshape(32, -1)).reshape(32, C, J)
-        resid = (dw_sel - top.astype(jnp.int32)).astype(jnp.float32)
-        cand_off = jnp.where(top > 0, idx, INVALID_OFF)
-        return cand_off.astype(jnp.int32), resid
-
-    def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
-                    step_bank, step_recompute, step_rebuild, step_nvalid,
-                    key):
-        S = step_frame.shape[0]
         store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
+        F = lanes_tgt.shape[0]
+        prev_lanes = jnp.concatenate(
+            [jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
+             lanes_tgt[:-1]], axis=0)
+
+        def one_frame(fi):
+            tl = lanes_tgt[fi]
+            pl = prev_lanes[fi]
+            outs_off, outs_res = [], []
+            for b in range(n_banks):
+                dw0 = diff_bank(pl, tl, b, sub) * holes_i
+                sc = build_sc(tl, store_cost16, jnp.int32(b))
+                delta = (sc.transpose(0, 2, 1).astype(jnp.int32)
+                         - dw0[:, None, :])
+                eligible = (delta < 0) & (holes_i[:, None, :] > 0)
+                score = jnp.where(eligible, -delta, -1).astype(jnp.int16)
+                top, idx = jax.lax.top_k(score, J)  # (32, C, J)
+                dw_sel = jax.vmap(jnp.take)(
+                    dw0, idx.reshape(32, -1)).reshape(32, C, J)
+                resid = dw_sel - top.astype(jnp.int32)
+                outs_off.append(jnp.where(top > 0, idx, INVALID_OFF)
+                                .astype(jnp.int16))
+                outs_res.append(resid.astype(jnp.int16))
+            return jnp.stack(outs_off), jnp.stack(outs_res)
+
+        co, cr = jax.lax.map(one_frame, jnp.arange(F, dtype=jnp.int32))
+        return co, cr
+
+    def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, cand_off,
+                    cand_resid, step_frame, step_bank, step_recompute,
+                    step_nvalid, key):
+        S = step_frame.shape[0]
+        cand_off_flat = cand_off.reshape(-1, J)
+        cand_resid_flat = cand_resid.reshape(-1, J)
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
-        state0 = dict(
-            banks=zero, up=zero, dw=zero,
-            cand_off=jnp.full((n_banks, 32, C, J), INVALID_OFF, jnp.int32),
-            cand_resid=jnp.zeros((n_banks, 32, C, J), jnp.float32))
+        state0 = dict(banks=zero, up=zero, dw=zero)
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
         def step(state, xs):
-            step_i, frame, bank, recompute, rebuild, nvalid = xs
+            step_i, frame, bank, recompute, nvalid = xs
             skey = jax.random.fold_in(key, step_i)
 
             def nonce(sub_i, shape):
@@ -303,18 +320,6 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             up_b, dw_b = jax.lax.cond(
                 recompute, do_recompute, lambda u, d: (u, d), up_b, dw_b)
 
-            # -- (frame, bank)-start candidate rebuild ----------------------
-            co_b = jax.lax.dynamic_index_in_dim(
-                state["cand_off"], bank_c, 0, keepdims=False)
-            cr_b = jax.lax.dynamic_index_in_dim(
-                state["cand_resid"], bank_c, 0, keepdims=False)
-
-            def do_rebuild(co, cr):
-                return build_cand(tl, dw_b, store_cost16, bank)
-
-            co_b, cr_b = jax.lax.cond(
-                rebuild, do_rebuild, lambda a, b: (a, b), co_b, cr_b)
-
             # -- page selection --------------------------------------------
             page_max = jnp.max(up_b, axis=1)  # (32,)
             page_score = (page_max.astype(jnp.float32) * 256.0
@@ -337,15 +342,22 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
 
             # -- companions: ranked candidates x live priorities ------------
-            rows = pages * C + content  # (K,)
-            off_cand = jnp.take(co_b.reshape(32 * C, J), rows, axis=0)
-            resid_cand = jnp.take(cr_b.reshape(32 * C, J), rows, axis=0)
+            rows = ((frame * n_banks + bank_c) * 32 + pages) * C + content
+            off_cand = jnp.take(cand_off_flat, rows, axis=0).astype(
+                jnp.int32)  # (K, J)
+            resid_cand = jnp.take(cand_resid_flat, rows, axis=0).astype(
+                jnp.float32)
             oh_cand = (off_cand[:, :, None] == iota_256[None]).astype(
                 jnp.float32)  # (K, J, 256); INVALID_OFF rows vanish
+            dw_p = jnp.dot(P, dw_b.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
             up_cand = jnp.einsum("kjo,ko->kj", oh_cand, up_p,
                                  preferred_element_type=jnp.float32)
+            dw_cand = jnp.einsum("kjo,ko->kj", oh_cand, dw_p,
+                                 preferred_element_type=jnp.float32)
+            # freshness: the store must still improve on the live diff
             ok = (up_cand > 0.0) & (off_cand != offset0[:, None]) \
-                & (off_cand < INVALID_OFF)
+                & (off_cand < INVALID_OFF) & (resid_cand < dw_cand)
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) * ok
             sel = ok & (rank <= 3)
             self_f = sel.astype(jnp.float32)
@@ -385,10 +397,6 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                     state["up"], new_up_b, bank_c, 0),
                 dw=jax.lax.dynamic_update_index_in_dim(
                     state["dw"], new_dw_b, bank_c, 0),
-                cand_off=jax.lax.dynamic_update_index_in_dim(
-                    state["cand_off"], co_b, bank_c, 0),
-                cand_resid=jax.lax.dynamic_update_index_in_dim(
-                    state["cand_resid"], cr_b, bank_c, 0),
             )
 
             # -- emit -------------------------------------------------------
@@ -401,14 +409,21 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             return new_state, op_rec.astype(jnp.uint8)
 
         xs = (jnp.arange(S, dtype=jnp.int32), step_frame, step_bank,
-              step_recompute, step_rebuild, step_nvalid)
+              step_recompute, step_nvalid)
         final, ops = jax.lax.scan(step, state0, xs)
         main = final["banks"][0]
         aux = final["banks"][n_banks - 1] if n_banks == 2 else \
             final["banks"][0]
         return ops, main, aux
 
-    return encode_scan
+    def full(store_cost, sub, lanes_tgt, bytes_tgt, step_frame, step_bank,
+             step_recompute, step_nvalid, key):
+        co, cr = precompute_candidates(store_cost, sub, lanes_tgt)
+        return encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, co, cr,
+                           step_frame, step_bank, step_recompute,
+                           step_nvalid, key)
+
+    return full
 
 
 @functools.lru_cache(None)
@@ -434,7 +449,6 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
               lanes_tgt, bytes_tgt,
               jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
               jnp.asarray(plan.step_recompute),
-              jnp.asarray(plan.step_rebuild_cand),
               jnp.asarray(plan.step_nvalid), key)
 
 

@@ -34,10 +34,8 @@ class HostEncoder:
         self.banks = np.zeros((self.n_banks, 32, 256), np.int32)
         self.up = np.zeros((self.n_banks, 32, 256), np.int32)
         self.dw = np.zeros((self.n_banks, 32, 256), np.int32)
-        self.cand_off = np.full((self.n_banks, 32, self.C, CAND_J),
-                                INVALID_OFF, np.int32)
-        self.cand_resid = np.zeros((self.n_banks, 32, self.C, CAND_J),
-                                   np.float32)
+        self.cand_off = None  # set by precompute_candidates
+        self.cand_resid = None
         self.not_hole = (~screen.SCREEN_HOLES).astype(np.int32)
         self.rng = np.random.RandomState(seed) if seed is not None else None
 
@@ -71,29 +69,46 @@ class HostEncoder:
         self.up[bank] = np.where(d == 0, 0, up) + d
         self.dw[bank] = d
 
-    def rebuild_cand(self, tgt_lanes, tgt_bytes, bank: int):
-        """Ranked per-content companion candidates (mirror of encoder
-        build_cand, including the exact score-based residual recovery)."""
-        le, lo = self._bank_lanes(bank)
+    def precompute_candidates(self, lanes_tgt):
+        """Mirror of the encoder's all-frames candidate precompute: ranked
+        per-content candidates against the previous-target diff (dw0)."""
+        F = lanes_tgt.shape[0]
+        self.cand_off = np.full((F, self.n_banks, 32, self.C, CAND_J),
+                                INVALID_OFF, np.int32)
+        self.cand_resid = np.zeros((F, self.n_banks, 32, self.C, CAND_J),
+                                   np.float32)
         sc16 = self.store_cost.astype(np.int16)
-        se = sc16[le][tgt_lanes[:, :, le]]  # (32,128,C)
-        so = sc16[lo][tgt_lanes[:, :, lo]]
-        sc = np.stack([se, so], axis=2).reshape(32, 256, self.C)
-        # delta[p, c, o] = sc[p, o, c] - dw[p, o]
-        delta = (sc.transpose(0, 2, 1).astype(np.int32)
-                 - self.dw[bank][:, None, :])
-        eligible = (delta < 0) & (self.not_hole[:, None, :] > 0)
-        score = np.where(eligible, -delta, -1).astype(np.int16)
-        order = np.argsort(-score, axis=-1, kind="stable")[..., :CAND_J]
-        top = np.take_along_axis(score, order, axis=-1)
-        dw_sel = np.take_along_axis(
-            np.broadcast_to(self.dw[bank][:, None, :],
-                            (32, self.C, 256)), order, axis=-1)
-        resid = (dw_sel - top.astype(np.int32)).astype(np.float32)
-        self.cand_off[bank] = np.where(top > 0, order, INVALID_OFF)
-        self.cand_resid[bank] = resid
+        prev = np.concatenate(
+            [np.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
+             lanes_tgt[:-1]], axis=0)
+        for f in range(F):
+            for bank in range(self.n_banks):
+                le, lo = self._bank_lanes(bank)
+                ds = [np.asarray(distance.dist_lane_pairs(
+                    prev[f, :, :, l], lanes_tgt[f, :, :, l], self.mode, l,
+                    self.sub)) for l in range(int(self.spec.N_LANES))]
+                dw0 = screen.interleave_bank_lanes(
+                    ds[le], ds[lo]).astype(np.int32) * self.not_hole
+                se = sc16[le][lanes_tgt[f, :, :, le]]
+                so = sc16[lo][lanes_tgt[f, :, :, lo]]
+                sc = np.stack([se, so], axis=2).reshape(32, 256, self.C)
+                delta = (sc.transpose(0, 2, 1).astype(np.int32)
+                         - dw0[:, None, :])
+                eligible = (delta < 0) & (self.not_hole[:, None, :] > 0)
+                score = np.where(eligible, -delta, -1).astype(np.int16)
+                order = np.argsort(-score, axis=-1,
+                                   kind="stable")[..., :CAND_J]
+                top = np.take_along_axis(score, order, axis=-1)
+                dw_sel = np.take_along_axis(
+                    np.broadcast_to(dw0[:, None, :], (32, self.C, 256)),
+                    order, axis=-1)
+                resid = (dw_sel - top.astype(np.int32)).astype(np.float32)
+                self.cand_off[f, bank] = np.where(top > 0, order,
+                                                  INVALID_OFF)
+                self.cand_resid[f, bank] = resid
 
-    def step(self, tgt_bytes, bank: int, nvalid: int) -> List[Tuple]:
+    def step(self, tgt_bytes, frame: int, bank: int,
+             nvalid: int) -> List[Tuple]:
         up = self.up[bank]
         dw = self.dw[bank]
         bank_bytes = self.banks[bank]
@@ -118,11 +133,13 @@ class HostEncoder:
             for j in range(CAND_J):
                 if len(offs) == 4:
                     break
-                o = int(self.cand_off[bank, pg, content, j])
-                if o >= INVALID_OFF or o == off0 or up[pg, o] <= 0:
+                o = int(self.cand_off[frame, bank, pg, content, j])
+                resid = self.cand_resid[frame, bank, pg, content, j]
+                if (o >= INVALID_OFF or o == off0 or up[pg, o] <= 0
+                        or not (resid < dw[pg, o])):
                     continue
                 offs.append(o)
-                up[pg, o] = int(self.cand_resid[bank, pg, content, j])
+                up[pg, o] = int(resid)
                 bank_bytes[pg, o] = content
             while len(offs) < 4:
                 offs.append(off0)
@@ -139,14 +156,13 @@ def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
     enc = HostEncoder(mode, dist, k=plan.k, seed=seed)
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
+    enc.precompute_candidates(lanes_tgt)
     out = []
     for s in range(len(plan.step_frame)):
         f = int(plan.step_frame[s])
         bank = int(plan.step_bank[s])
         if plan.step_recompute[s]:
             enc.recompute(lanes_tgt[f], bank)
-        if plan.step_rebuild_cand[s]:
-            enc.rebuild_cand(lanes_tgt[f], bytes_tgt[f, bank], bank)
-        out.extend(enc.step(bytes_tgt[f, bank], bank,
+        out.extend(enc.step(bytes_tgt[f, bank], f, bank,
                             int(plan.step_nvalid[s])))
     return np.asarray(out, dtype=np.int32)

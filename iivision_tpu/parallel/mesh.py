@@ -51,7 +51,7 @@ def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
 
     scan = encoder._build_encode_scan(mode, k, deterministic)
     batched = jax.vmap(
-        scan, in_axes=(None, None, 0, 0, None, None, None, None, None, 0))
+        scan, in_axes=(None, None, 0, 0, None, None, None, None, 0))
     return jax.jit(batched)
 
 
@@ -83,7 +83,6 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     return fn(store_cost, sub, lanes_tgt_b, bytes_tgt_b,
               jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
               jnp.asarray(plan.step_recompute),
-              jnp.asarray(plan.step_rebuild_cand),
               jnp.asarray(plan.step_nvalid), keys)
 
 

@@ -115,14 +115,13 @@ def test_host_vs_scan_differential(mode, k):
     # final screen state matches the host too
     henc = encoder_host.HostEncoder(mode, dist, k=k, seed=None)
     lanes_np, bytes_np = np.asarray(lanes_tgt), np.asarray(bytes_tgt)
+    henc.precompute_candidates(lanes_np)
     for s in range(len(plan.step_frame)):
         f = int(plan.step_frame[s])
         b = int(plan.step_bank[s])
         if plan.step_recompute[s]:
             henc.recompute(lanes_np[f], b)
-        if plan.step_rebuild_cand[s]:
-            henc.rebuild_cand(lanes_np[f], bytes_np[f, b], b)
-        henc.step(bytes_np[f, b], b, int(plan.step_nvalid[s]))
+        henc.step(bytes_np[f, b], f, b, int(plan.step_nvalid[s]))
     assert np.array_equal(np.asarray(fin_main), henc.banks[0])
     if mode == VideoMode.DHGR:
         assert np.array_equal(np.asarray(fin_aux), henc.banks[1])
