@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "order).")
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
+    parser.add_argument("--two_pass", action="store_true",
+                        help="Higher-fidelity two-pass encode (~2x cost).")
     return parser
 
 
@@ -57,6 +59,7 @@ def main(args=None):
         dither_mode=args.dither,
         k=args.k,
         seed=args.seed,
+        two_pass=args.two_pass,
     )
     print("Palette %s" % args.palette)
     print("Input frame rate = %f" % m.frames.input_frame_rate)

@@ -234,7 +234,8 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         return jax.lax.cond(bank == 1, lambda: for_bank(1),
                             lambda: for_bank(0))
 
-    def precompute_candidates(store_cost, sub, lanes_tgt):
+    def precompute_candidates(store_cost, sub, lanes_tgt,
+                              start_lanes=None):
         """Ranked companion candidates for ALL frames and banks, built in one
         batched pass before the scan (no sequential dependency).
 
@@ -253,9 +254,12 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         """
         store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
         F = lanes_tgt.shape[0]
-        prev_lanes = jnp.concatenate(
-            [jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
-             lanes_tgt[:-1]], axis=0)
+        if start_lanes is None:
+            prev_lanes = jnp.concatenate(
+                [jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
+                 lanes_tgt[:-1]], axis=0)
+        else:
+            prev_lanes = start_lanes  # exact frame-start screens (2-pass)
 
         def one_frame(fi):
             tl = lanes_tgt[fi]
@@ -282,18 +286,26 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, cand_off,
                     cand_resid, step_frame, step_bank, step_recompute,
-                    step_nvalid, key):
+                    step_nvalid, key, capture_starts=False):
         S = step_frame.shape[0]
+        F = lanes_tgt.shape[0]
         cand_off_flat = cand_off.reshape(-1, J)
         cand_resid_flat = cand_resid.reshape(-1, J)
+        # a step is a frame start iff its frame differs from the previous
+        # step's frame (first step included)
+        prev_f = jnp.concatenate(
+            [jnp.full((1,), -1, step_frame.dtype), step_frame[:-1]])
+        step_frame_start = step_frame != prev_f
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
         state0 = dict(banks=zero, up=zero, dw=zero)
+        if capture_starts:
+            state0["fs_banks"] = jnp.zeros((F, n_banks, 32, 256), jnp.uint8)
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
         def step(state, xs):
-            step_i, frame, bank, recompute, nvalid = xs
+            step_i, frame, bank, recompute, nvalid, frame_start = xs
             skey = jax.random.fold_in(key, step_i)
 
             def nonce(sub_i, shape):
@@ -398,6 +410,12 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                 dw=jax.lax.dynamic_update_index_in_dim(
                     state["dw"], new_dw_b, bank_c, 0),
             )
+            if capture_starts:
+                # record the screen as it stood when this frame began
+                cur = state["fs_banks"]
+                snap = jax.lax.dynamic_update_index_in_dim(
+                    cur, state["banks"].astype(jnp.uint8), frame, 0)
+                new_state["fs_banks"] = jnp.where(frame_start, snap, cur)
 
             # -- emit -------------------------------------------------------
             pad_content = tb[0, 0]
@@ -409,12 +427,20 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             return new_state, op_rec.astype(jnp.uint8)
 
         xs = (jnp.arange(S, dtype=jnp.int32), step_frame, step_bank,
-              step_recompute, step_nvalid)
+              step_recompute, step_nvalid, step_frame_start)
         final, ops = jax.lax.scan(step, state0, xs)
         main = final["banks"][0]
         aux = final["banks"][n_banks - 1] if n_banks == 2 else \
             final["banks"][0]
+        if capture_starts:
+            return ops, main, aux, final["fs_banks"]
         return ops, main, aux
+
+    def start_lanes_of(fs_banks):
+        """Frame-start screens (F, n_banks, 32, 256) u8 -> masked lanes."""
+        if mode == VideoMode.DHGR:
+            return screen.dhgr_masked_lanes(fs_banks[:, 0], fs_banks[:, 1])
+        return screen.hgr_masked_lanes(fs_banks[:, 0])
 
     def full(store_cost, sub, lanes_tgt, bytes_tgt, step_frame, step_bank,
              step_recompute, step_nvalid, key):
@@ -423,27 +449,48 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                            step_frame, step_bank, step_recompute,
                            step_nvalid, key)
 
+    def full_two_pass(store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
+                      step_bank, step_recompute, step_nvalid, key):
+        """Quality mode: pass 1 captures each frame's true start screen;
+        pass 2 ranks candidates against the exact frame-start diffs."""
+        co, cr = precompute_candidates(store_cost, sub, lanes_tgt)
+        _, _, _, fs_banks = encode_scan(
+            store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
+            step_bank, step_recompute, step_nvalid, key,
+            capture_starts=True)
+        co2, cr2 = precompute_candidates(
+            store_cost, sub, lanes_tgt, start_lanes_of(fs_banks))
+        return encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, co2, cr2,
+                           step_frame, step_bank, step_recompute,
+                           step_nvalid, key)
+
+    full.two_pass = full_two_pass
     return full
 
 
 @functools.lru_cache(None)
-def _jitted_encode(mode: VideoMode, k: int, deterministic: bool):
+def _jitted_encode(mode: VideoMode, k: int, deterministic: bool,
+                   two_pass: bool = False):
     import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic))
+    fn = _build_encode_scan(mode, k, deterministic)
+    return jax.jit(fn.two_pass if two_pass else fn)
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
-                 mode: VideoMode, seed: Optional[int] = 0):
+                 mode: VideoMode, seed: Optional[int] = 0,
+                 two_pass: bool = False):
     """Encode a planned movie on the accelerator.
 
     dist: a distance.ComputedDistance for (mode, palette).
     seed=None disables random tie-breaks (deterministic; for testing).
-    Returns (ops (S, K, 6) int32, final main (32,256), final aux).
+    two_pass=True re-ranks companion candidates against each frame's true
+    start screen (captured in a first pass) - higher fidelity, ~2x cost.
+    Returns (ops (S, K, 6) uint8, final main (32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_encode(mode, plan.k, seed is None)
+    fn = _jitted_encode(mode, plan.k, seed is None, two_pass)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
               lanes_tgt, bytes_tgt,

@@ -50,6 +50,7 @@ class Movie:
             audio_source: Optional[audio_mod.Audio] = None,
             dist=None,
             frame_rate: Optional[float] = None,
+            two_pass: bool = False,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -59,6 +60,7 @@ class Movie:
         self.dither_mode = dither_mode
         self.k = k
         self.seed = seed
+        self.two_pass = two_pass
         self.timings = {}
 
         t0 = time.time()
@@ -117,7 +119,7 @@ class Movie:
         t0 = time.time()
         ops_dev, fin_main, fin_aux = encoder.encode_movie(
             self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
-            seed=self.seed)
+            seed=self.seed, two_pass=self.two_pass)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0
         self.final_main = np.asarray(fin_main)

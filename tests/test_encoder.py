@@ -163,3 +163,28 @@ def test_scan_converges_on_constant_frame():
     tail = flat[-50:]
     assert np.all(tail[:, 0] == 32)
     assert np.all(tail[:, 2:] == 0)
+
+
+def test_two_pass_encode():
+    """Two-pass encode produces a valid, VM-decodable stream with quality at
+    least as good as single-pass (same seed, same movie)."""
+    from iivision_tpu import quality
+
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    fmain, faux = random_frames(mode, n_frames=2, seed=9)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=1200, input_frame_rate=12.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+
+    reps = {}
+    for tp in (False, True):
+        ops_dev, fin_m, fin_a = encoder.encode_movie(
+            dist, lanes_tgt, bytes_tgt, plan, mode, seed=3, two_pass=tp)
+        flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
+        assert flat.shape == (plan.n_ops, 6)
+        reps[tp] = quality.replay_frame_errors(
+            flat, plan, lanes_tgt, mode, dist)
+    # two-pass must not be worse (allow small noise margin)
+    assert reps[True].mean_error <= reps[False].mean_error * 1.05
