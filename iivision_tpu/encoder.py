@@ -342,10 +342,13 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             real = has_work & (iota_k < nvalid)
             realf = real.astype(jnp.float32)[:, None]
 
-            up_p = jnp.dot(P, up_b.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)  # (K, 256)
-            tb_p = jnp.dot(P, tb.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
+            # one fused page-row extraction for up/dw/target bytes
+            stacked = jnp.concatenate(
+                [up_b, dw_b, tb], axis=1).astype(jnp.float32)  # (32, 768)
+            proj = jnp.dot(P, stacked,
+                           preferred_element_type=jnp.float32)  # (K, 768)
+            up_p, dw_p, tb_p = (proj[:, :256], proj[:, 256:512],
+                                proj[:, 512:])
 
             # -- best offset per page --------------------------------------
             off_score = up_p * 256.0 + nonce(1, (k, 256)) * 255.0
@@ -361,21 +364,21 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                 jnp.float32)
             oh_cand = (off_cand[:, :, None] == iota_256[None]).astype(
                 jnp.float32)  # (K, J, 256); INVALID_OFF rows vanish
-            dw_p = jnp.dot(P, dw_b.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-            up_cand = jnp.einsum("kjo,ko->kj", oh_cand, up_p,
-                                 preferred_element_type=jnp.float32)
-            dw_cand = jnp.einsum("kjo,ko->kj", oh_cand, dw_p,
-                                 preferred_element_type=jnp.float32)
+            updw = jnp.stack([up_p, dw_p], axis=1)  # (K, 2, 256)
+            cand_vals = jnp.einsum("kjo,kmo->kmj", oh_cand, updw,
+                                   preferred_element_type=jnp.float32)
+            up_cand, dw_cand = cand_vals[:, 0], cand_vals[:, 1]
             # freshness: the store must still improve on the live diff
             ok = (up_cand > 0.0) & (off_cand != offset0[:, None]) \
                 & (off_cand < INVALID_OFF) & (resid_cand < dw_cand)
             rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) * ok
             sel = ok & (rank <= 3)
             self_f = sel.astype(jnp.float32)
-            acc_rows = jnp.einsum("kjo,kj->ko", oh_cand, self_f)
-            resid_rows = jnp.einsum("kjo,kj->ko", oh_cand,
-                                    self_f * resid_cand)
+            weights = jnp.stack([self_f, self_f * resid_cand],
+                                axis=1)  # (K, 2, J)
+            rows2 = jnp.einsum("kjo,kmj->kmo", oh_cand, weights,
+                               preferred_element_type=jnp.float32)
+            acc_rows, resid_rows = rows2[:, 0], rows2[:, 1]
             # emission slots: candidate with rank s+1, else primary offset
             slot_hit = (rank[:, None, :] ==
                         (jnp.arange(3) + 1)[None, :, None]) & sel[:, None, :]
@@ -383,21 +386,19 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             found = jnp.any(slot_hit, axis=2)
             off3_eff = jnp.where(found, off3, offset0[:, None])
 
-            # -- state updates as one-hot matmul writes --------------------
+            # -- state updates as one fused one-hot matmul write ------------
             umask_rows = (off0_oh + acc_rows) * realf  # 0/1, disjoint
-            M_up = jnp.dot(P.T, umask_rows,
-                           preferred_element_type=jnp.float32)
-            V_up = jnp.dot(P.T, resid_rows * realf,
-                           preferred_element_type=jnp.float32)
+            back = jnp.concatenate(
+                [umask_rows, resid_rows * realf, off0_oh * realf,
+                 umask_rows * content[:, None].astype(jnp.float32)],
+                axis=1)  # (K, 1024)
+            wr = jnp.dot(P.T, back,
+                         preferred_element_type=jnp.float32)  # (32, 1024)
+            M_up, V_up = wr[:, :256], wr[:, 256:512]
+            M_dw, V_bytes = wr[:, 512:768], wr[:, 768:]
             Mi = M_up.astype(jnp.int32)
             new_up_b = up_b * (1 - Mi) + V_up.astype(jnp.int32)
-
-            M_dw = jnp.dot(P.T, off0_oh * realf,
-                           preferred_element_type=jnp.float32)
             new_dw_b = dw_b * (1 - M_dw.astype(jnp.int32))
-
-            V_bytes = jnp.dot(P.T, umask_rows * content[:, None].astype(
-                jnp.float32), preferred_element_type=jnp.float32)
             bank_bytes = jax.lax.dynamic_index_in_dim(
                 state["banks"], bank_c, 0, keepdims=False)
             new_bank_bytes = bank_bytes * (1 - Mi) + V_bytes.astype(jnp.int32)
