@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Tie-break RNG seed (reproducible streams).")
     parser.add_argument("--two_pass", action="store_true",
                         help="Higher-fidelity two-pass encode (~2x cost).")
+    parser.add_argument("--chunk_frames", type=int, default=None,
+                        help="Encode in segments of this many frames "
+                             "(bounded device memory for long movies; "
+                             "default: auto past 1024 frames).")
     return parser
 
 
@@ -60,6 +64,7 @@ def main(args=None):
         k=args.k,
         seed=args.seed,
         two_pass=args.two_pass,
+        chunk_frames=args.chunk_frames,
     )
     print("Palette %s" % args.palette)
     print("Input frame rate = %f" % m.frames.input_frame_rate)

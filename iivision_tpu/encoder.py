@@ -235,7 +235,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                             lambda: for_bank(0))
 
     def precompute_candidates(store_cost, sub, lanes_tgt,
-                              start_lanes=None):
+                              start_lanes=None, prev0_lanes=None):
         """Ranked companion candidates for ALL frames and banks, built in one
         batched pass before the scan (no sequential dependency).
 
@@ -255,9 +255,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
         F = lanes_tgt.shape[0]
         if start_lanes is None:
-            prev_lanes = jnp.concatenate(
-                [jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
-                 lanes_tgt[:-1]], axis=0)
+            first = (jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype)
+                     if prev0_lanes is None else
+                     prev0_lanes[None].astype(lanes_tgt.dtype))
+            prev_lanes = jnp.concatenate([first, lanes_tgt[:-1]], axis=0)
         else:
             prev_lanes = start_lanes  # exact frame-start screens (2-pass)
 
@@ -286,7 +287,8 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, cand_off,
                     cand_resid, step_frame, step_bank, step_recompute,
-                    step_nvalid, key, capture_starts=False):
+                    step_nvalid, key, capture_starts=False,
+                    step_index=None, init_state=None, return_state=False):
         S = step_frame.shape[0]
         F = lanes_tgt.shape[0]
         cand_off_flat = cand_off.reshape(-1, J)
@@ -297,7 +299,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             [jnp.full((1,), -1, step_frame.dtype), step_frame[:-1]])
         step_frame_start = step_frame != prev_f
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
-        state0 = dict(banks=zero, up=zero, dw=zero)
+        if init_state is None:
+            state0 = dict(banks=zero, up=zero, dw=zero)
+        else:
+            state0 = dict(init_state)
         if capture_starts:
             state0["fs_banks"] = jnp.zeros((F, n_banks, 32, 256), jnp.uint8)
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
@@ -427,9 +432,13 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                  jnp.where(real[:, None], all_off, 0)], axis=1)
             return new_state, op_rec.astype(jnp.uint8)
 
-        xs = (jnp.arange(S, dtype=jnp.int32), step_frame, step_bank,
+        if step_index is None:
+            step_index = jnp.arange(S, dtype=jnp.int32)
+        xs = (step_index, step_frame, step_bank,
               step_recompute, step_nvalid, step_frame_start)
         final, ops = jax.lax.scan(step, state0, xs)
+        if return_state:
+            return ops, final
         main = final["banks"][0]
         aux = final["banks"][n_banks - 1] if n_banks == 2 else \
             final["banks"][0]
@@ -465,7 +474,37 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                            step_frame, step_bank, step_recompute,
                            step_nvalid, key)
 
+    def chunk(store_cost, sub, lanes_tgt, bytes_tgt, prev0_lanes,
+              step_frame, step_bank, step_recompute, step_nvalid,
+              step_index, banks0, up0, dw0, key, two_pass=False):
+        """One segment of a chunked movie: carries (banks, up, dw) state in
+        and out so arbitrarily long movies encode in bounded memory.
+
+        Candidate ranking matches the unchunked encoder exactly: the segment's
+        first frame ranks against `prev0_lanes` (the previous segment's last
+        target; blank screen for segment 0) and nonces fold the ABSOLUTE step
+        index, so single-pass chunked output is bit-identical to unchunked.
+        """
+        init = dict(banks=banks0, up=up0, dw=dw0)
+        co, cr = precompute_candidates(store_cost, sub, lanes_tgt,
+                                       prev0_lanes=prev0_lanes)
+        if two_pass:
+            _, fin1 = encode_scan(
+                store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
+                step_bank, step_recompute, step_nvalid, key,
+                capture_starts=True, step_index=step_index,
+                init_state=init, return_state=True)
+            co, cr = precompute_candidates(
+                store_cost, sub, lanes_tgt,
+                start_lanes=start_lanes_of(fin1["fs_banks"]))
+        ops, fin = encode_scan(
+            store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
+            step_bank, step_recompute, step_nvalid, key,
+            step_index=step_index, init_state=init, return_state=True)
+        return ops, fin["banks"], fin["up"], fin["dw"]
+
     full.two_pass = full_two_pass
+    full.chunk = chunk
     return full
 
 
@@ -475,6 +514,14 @@ def _jitted_encode(mode: VideoMode, k: int, deterministic: bool,
     import jax
     fn = _build_encode_scan(mode, k, deterministic)
     return jax.jit(fn.two_pass if two_pass else fn)
+
+
+@functools.lru_cache(None)
+def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool,
+                  two_pass: bool = False):
+    import jax
+    fn = _build_encode_scan(mode, k, deterministic)
+    return jax.jit(functools.partial(fn.chunk, two_pass=two_pass))
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
@@ -498,6 +545,89 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
               jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
               jnp.asarray(plan.step_recompute),
               jnp.asarray(plan.step_nvalid), key)
+
+
+def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
+                         mode: VideoMode, seed: Optional[int] = 0,
+                         two_pass: bool = False, chunk_frames: int = 512):
+    """Encode an arbitrarily long planned movie in bounded device memory.
+
+    Splits the plan at encoded-frame boundaries into segments of at most
+    `chunk_frames` frames, transfers each segment's uint8 target banks to the
+    device on demand (lanes are derived on-device), and carries the encoder
+    state (screen banks, update priorities, live diffs) across segments.
+    Candidate tables - the memory hog at ~260KB/frame - only ever exist for
+    one segment.  All segments pad to one (S, F) shape: one compile total.
+
+    Single-pass chunked output is bit-identical to `encode_movie` (same seed):
+    nonces fold absolute step indices and each segment's first frame ranks
+    candidates against the previous segment's last target.  Two-pass chunked
+    differs from unchunked two-pass only in that pass 1 of segment i starts
+    from pass-2 state of segment i-1 (strictly *more* accurate frame starts).
+
+    frames_main/frames_aux: (F, 32, 256) uint8 target banks (aux None for
+    HGR).  Returns (ops (S_total, K, 6) uint8 numpy, final main, final aux).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    frames_main = np.asarray(frames_main)
+    n_banks = 2 if mode == VideoMode.DHGR else 1
+    sf = plan.step_frame
+    f_max = int(sf.max())
+    bounds = list(range(0, f_max + 1, chunk_frames)) + [f_max + 1]
+    ranges = [(f0, f1, int(np.searchsorted(sf, f0)),
+               int(np.searchsorted(sf, f1)))
+              for f0, f1 in zip(bounds[:-1], bounds[1:])]
+    S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
+    F_pad = min(chunk_frames, f_max + 1)
+
+    fn = _jitted_chunk(mode, plan.k, seed is None, two_pass)
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    store_cost = jnp.asarray(dist.store_cost)
+    sub = jnp.asarray(dist.sub)
+    zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
+    banks, up, dw = zero, zero, zero
+    prev0 = None
+    ops_all = []
+
+    def pad_frames(a, F):
+        if a is None:
+            return None
+        out = np.zeros((F_pad,) + a.shape[1:], a.dtype)
+        out[:F] = a
+        return out
+
+    for f0, f1, s0, s1 in ranges:
+        F, S = f1 - f0, s1 - s0
+        lanes_c, bytes_c = prepare_targets(
+            pad_frames(frames_main[f0:f1], F),
+            pad_frames(None if frames_aux is None
+                       else np.asarray(frames_aux)[f0:f1], F), mode)
+        if prev0 is None:
+            prev0 = jnp.zeros_like(lanes_c[0])
+
+        def pad_steps(a, fill):
+            out = np.full(S_pad, fill, a.dtype)
+            out[:S] = a[s0:s1]
+            return jnp.asarray(out)
+
+        # pad steps repeat the last real (frame, bank) with nvalid=0 and no
+        # recompute: pure no-ops that cannot trip frame-start capture
+        ops_c, banks, up, dw = fn(
+            store_cost, sub, lanes_c, bytes_c, prev0,
+            pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
+            pad_steps(plan.step_bank, int(plan.step_bank[s1 - 1])),
+            pad_steps(plan.step_recompute, False),
+            pad_steps(plan.step_nvalid, 0),
+            pad_steps(np.arange(len(sf), dtype=np.int32), 0),
+            banks, up, dw, key)
+        prev0 = lanes_c[F - 1]
+        ops_all.append(np.asarray(ops_c[:S]))
+
+    main = np.asarray(banks[0])
+    aux = np.asarray(banks[n_banks - 1])
+    return np.concatenate(ops_all, axis=0), main, aux
 
 
 def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:

@@ -51,6 +51,7 @@ class Movie:
             dist=None,
             frame_rate: Optional[float] = None,
             two_pass: bool = False,
+            chunk_frames: Optional[int] = None,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -61,6 +62,9 @@ class Movie:
         self.k = k
         self.seed = seed
         self.two_pass = two_pass
+        # segment very long movies so candidate tables (~260KB/frame) and
+        # targets stay bounded in HBM; None = auto (chunk past 1024 frames)
+        self.chunk_frames = chunk_frames
         self.timings = {}
 
         t0 = time.time()
@@ -109,17 +113,25 @@ class Movie:
             mode=self.video_mode, k=self.k)
         assert n_enc <= len(self.frames.targets_main), (
             n_enc, len(self.frames.targets_main))
-        lanes_tgt, bytes_tgt = encoder.prepare_targets(
-            self.frames.targets_main[:max(n_enc, 1)],
-            None if self.frames.targets_aux is None
-            else self.frames.targets_aux[:max(n_enc, 1)],
-            self.video_mode)
+        tgt_main = self.frames.targets_main[:max(n_enc, 1)]
+        tgt_aux = (None if self.frames.targets_aux is None
+                   else self.frames.targets_aux[:max(n_enc, 1)])
+        chunk = self.chunk_frames
+        if chunk is None and n_enc > 1024:
+            chunk = 512  # auto-segment long movies
         self.timings["plan_s"] = time.time() - t0
 
         t0 = time.time()
-        ops_dev, fin_main, fin_aux = encoder.encode_movie(
-            self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
-            seed=self.seed, two_pass=self.two_pass)
+        if chunk:
+            ops_dev, fin_main, fin_aux = encoder.encode_movie_chunked(
+                self.dist, tgt_main, tgt_aux, plan, self.video_mode,
+                seed=self.seed, two_pass=self.two_pass, chunk_frames=chunk)
+        else:
+            lanes_tgt, bytes_tgt = encoder.prepare_targets(
+                tgt_main, tgt_aux, self.video_mode)
+            ops_dev, fin_main, fin_aux = encoder.encode_movie(
+                self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
+                seed=self.seed, two_pass=self.two_pass)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0
         self.final_main = np.asarray(fin_main)

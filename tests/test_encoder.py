@@ -165,6 +165,65 @@ def test_scan_converges_on_constant_frame():
     assert np.all(tail[:, 2:] == 0)
 
 
+@pytest.mark.parametrize("mode,seed,chunk", [
+    (VideoMode.DHGR, None, 2),
+    (VideoMode.DHGR, 7, 3),
+    (VideoMode.HGR, 7, 2),
+])
+def test_chunked_matches_unchunked(mode, seed, chunk):
+    """Single-pass chunked encode is bit-identical to the unchunked scan:
+    nonces fold absolute step indices and each segment's first frame ranks
+    candidates against the previous segment's last target."""
+    dist = get_dist(mode)
+    n_frames = 6
+    fmain, faux = random_frames(mode, n_frames=n_frames, seed=11)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=n_frames, n_audio_ticks=2400, input_frame_rate=36.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    assert n_enc == n_frames
+
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+    ops_ref, main_ref, aux_ref = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=seed)
+    flat_ref = encoder.flatten_ops(np.asarray(ops_ref), plan)
+
+    ops_c, main_c, aux_c = encoder.encode_movie_chunked(
+        dist, fmain, faux, plan, mode, seed=seed, chunk_frames=chunk)
+    flat_c = encoder.flatten_ops(ops_c, plan)
+
+    assert np.array_equal(flat_c, flat_ref)
+    assert np.array_equal(main_c, np.asarray(main_ref))
+    assert np.array_equal(aux_c, np.asarray(aux_ref))
+
+
+def test_chunked_two_pass_stream_quality():
+    """Two-pass chunked encode yields a valid stream with quality within
+    noise of unchunked two-pass (segment starts are exact in both)."""
+    from iivision_tpu import quality
+
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    fmain, faux = random_frames(mode, n_frames=4, seed=5)
+    plan, _ = encoder.plan_movie(
+        n_frames=4, n_audio_ticks=2000, input_frame_rate=24.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+
+    ops_ref, _, _ = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=2, two_pass=True)
+    rep_ref = quality.replay_frame_errors(
+        encoder.flatten_ops(np.asarray(ops_ref), plan), plan, lanes_tgt,
+        mode, dist)
+
+    ops_c, _, _ = encoder.encode_movie_chunked(
+        dist, fmain, faux, plan, mode, seed=2, two_pass=True,
+        chunk_frames=2)
+    flat_c = encoder.flatten_ops(ops_c, plan)
+    assert flat_c.shape == (plan.n_ops, 6)
+    rep_c = quality.replay_frame_errors(flat_c, plan, lanes_tgt, mode, dist)
+    assert rep_c.mean_error <= rep_ref.mean_error * 1.10
+
+
 def test_two_pass_encode():
     """Two-pass encode produces a valid, VM-decodable stream with quality at
     least as good as single-pass (same seed, same movie)."""
