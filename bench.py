@@ -123,7 +123,7 @@ def main():
         ops_b, _, _ = pmesh.encode_movies_batch(
             dist, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
             seeds=np.arange(B))
-        ops_b = np.asarray(ops_b)
+        ops_b = pmesh.fetch_ops(ops_b)
         streams = []
         for i in range(B):
             flat = encoder.flatten_ops(ops_b[i], m.plan)
@@ -159,7 +159,7 @@ def main():
         ops_dev = encode_async(r * B)  # async
         if prev is not None:
             emit_all(prev)  # host work overlaps device compute
-        prev = np.asarray(ops_dev)  # blocks on compute + transfer
+        prev = pmesh.fetch_ops(ops_dev)  # blocks on compute + transfer
     streams = emit_all(prev)
     pipe_wall = time.time() - t0
     pipe_x = R * B * stats["movie_seconds"] / pipe_wall

@@ -269,14 +269,21 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             for b in range(n_banks):
                 dw0 = diff_bank(pl, tl, b, sub) * holes_i
                 sc = build_sc(tl, store_cost16, jnp.int32(b))
-                delta = (sc.transpose(0, 2, 1).astype(jnp.int32)
-                         - dw0[:, None, :])
+                sct = sc.transpose(0, 2, 1)  # (32, C, 256) i16
+                delta = sct.astype(jnp.int32) - dw0[:, None, :]
                 eligible = (delta < 0) & (holes_i[:, None, :] > 0)
+                # keep the sort keys 16-bit: TPU top_k cost scales with key
+                # width (i32/f32 keys measured 3.7x slower)
                 score = jnp.where(eligible, -delta, -1).astype(jnp.int16)
                 top, idx = jax.lax.top_k(score, J)  # (32, C, J)
-                dw_sel = jax.vmap(jnp.take)(
-                    dw0, idx.reshape(32, -1)).reshape(32, C, J)
-                resid = dw_sel - top.astype(jnp.int32)
+                # residual cost after the store = dw0[idx] - score[idx],
+                # which collapses to the store cost sct[idx]; extract it
+                # with a one-hot contraction - random gathers here cost 3x
+                # the whole rest of the stage on TPU
+                oh = (idx[..., None] == jnp.arange(256)).astype(jnp.float32)
+                resid = jnp.einsum(
+                    "pcjo,pco->pcj", oh, sct.astype(jnp.float32),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
                 outs_off.append(jnp.where(top > 0, idx, INVALID_OFF)
                                 .astype(jnp.int16))
                 outs_res.append(resid.astype(jnp.int16))

@@ -99,10 +99,10 @@ class HostEncoder:
                 order = np.argsort(-score, axis=-1,
                                    kind="stable")[..., :CAND_J]
                 top = np.take_along_axis(score, order, axis=-1)
-                dw_sel = np.take_along_axis(
-                    np.broadcast_to(dw0[:, None, :], (32, self.C, 256)),
-                    order, axis=-1)
-                resid = (dw_sel - top.astype(np.int32)).astype(np.float32)
+                # residual after the store = dw0[idx] - score[idx] = the
+                # store cost itself (mirrors the encoder's one-hot form)
+                resid = np.take_along_axis(
+                    sc.transpose(0, 2, 1), order, axis=-1).astype(np.float32)
                 self.cand_off[f, bank] = np.where(top > 0, order,
                                                   INVALID_OFF)
                 self.cand_resid[f, bank] = resid

@@ -86,6 +86,75 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
               jnp.asarray(plan.step_nvalid), keys)
 
 
+def encode_movies_mixed(dist, movies, mode: VideoMode,
+                        input_frame_rate: float, ticks_per_second: float,
+                        every_n_video_frames: int = 1, k: int = 8,
+                        seeds=None, mesh=None):
+    """Encode a batch of DIFFERENT-length movies in one vmapped scan.
+
+    movies: list of (targets_main (F_i,32,256) u8, targets_aux or None,
+    n_input_frames_i, n_audio_ticks_i) sharing the frame rate, tick rate,
+    every_n and k.  Such movies have identical opcode schedules up to
+    length, so all encode under the longest movie's plan with video targets
+    padded by repeating each movie's last frame; movie i's opcode stream is
+    the first n_ops_i flattened ops (the scan is causal, so the padded tail
+    cannot affect them).  Semantically movie i encodes exactly as if its
+    audio were extended to the longest movie's length while its video holds
+    the last frame - bit-identical to that padded solo encode.
+
+    Returns (flat_ops: list of (n_ops_i, 6) arrays, plan_max: MoviePlan,
+    n_ops: list of int).
+    """
+    plans = [encoder.plan_movie(
+        n_frames=nf, n_audio_ticks=nt, input_frame_rate=input_frame_rate,
+        ticks_per_second=ticks_per_second,
+        every_n_video_frames=every_n_video_frames, mode=mode, k=k)
+        for _, _, nf, nt in movies]
+    n_ops = [p.n_ops for p, _ in plans]
+    i_max = int(np.argmax(n_ops))
+    plan_max, n_enc_max = plans[i_max]
+
+    def pad_targets(t):
+        t = np.asarray(t)
+        if len(t) >= n_enc_max:
+            return t[:n_enc_max]
+        reps = np.repeat(t[-1:], n_enc_max - len(t), axis=0)
+        return np.concatenate([t, reps], axis=0)
+
+    has_aux = mode == VideoMode.DHGR
+    mains = np.stack([pad_targets(m[0]) for m in movies])
+    auxes = (np.stack([pad_targets(m[1]) for m in movies])
+             if has_aux else None)
+    B, F = mains.shape[:2]
+    lanes, bytes_ = encoder.prepare_targets(
+        mains.reshape(B * F, 32, 256),
+        None if auxes is None else auxes.reshape(B * F, 32, 256), mode)
+    lanes_b = lanes.reshape((B, F) + lanes.shape[1:])
+    bytes_b = bytes_.reshape((B, F) + bytes_.shape[1:])
+
+    if seeds is None:
+        seeds = np.arange(B)
+    ops_b, _, _ = encode_movies_batch(
+        dist, lanes_b, bytes_b, plan_max, mode, seeds=seeds, mesh=mesh)
+    ops_np = fetch_ops(ops_b)
+    flats = [encoder.flatten_ops(ops_np[i], plan_max)[:n_ops[i]]
+             for i in range(B)]
+    return flats, plan_max, n_ops
+
+
+def fetch_ops(ops_dev) -> np.ndarray:
+    """Transfer an encoder ops tensor to host at full link rate.
+
+    The (..., S, K, 6) uint8 result of the encode scan has a tiled minor-dim
+    device layout that transfers ~1.6x slower than a dense buffer over thin
+    host links; flatten on device first, then reshape the host copy.
+    """
+    import jax
+
+    flat = jax.jit(lambda o: o.reshape(-1))(ops_dev)
+    return np.asarray(flat).reshape(ops_dev.shape)
+
+
 def build_tables_sharded(mode: VideoMode, palette, mesh,
                          axis: str = "movies"):
     """Edit-distance LUT generation sharded over the mesh (row blocks of the

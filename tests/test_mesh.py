@@ -1,0 +1,112 @@
+"""Mesh scale-out tests: mixed-length batches and sharded batch encode."""
+
+import functools
+
+import numpy as np
+
+from iivision_tpu import encoder
+from iivision_tpu.ops import distance
+from iivision_tpu.palettes import Palette
+from iivision_tpu.parallel import mesh as pmesh
+from iivision_tpu.video_mode import VideoMode
+
+
+@functools.lru_cache(None)
+def get_dist(mode, palette=Palette.NTSC):
+    return distance.ComputedDistance(mode, palette)
+
+
+def random_targets(n_frames, seed):
+    rng = np.random.RandomState(seed)
+    main = rng.randint(0, 0x80, size=(n_frames, 32, 256)).astype(np.uint8)
+    aux = rng.randint(0, 0x80, size=(n_frames, 32, 256)).astype(np.uint8)
+    return main, aux
+
+
+def test_mixed_length_batch_matches_padded_solo():
+    """Each movie in a mixed-length batch encodes bit-identically to a solo
+    encode of the same movie padded to the longest schedule, truncated to
+    its own op count (the scan is causal)."""
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    fps, tps, k = 12.0, 14700.0, 8
+    specs = [(4, 2000, 0), (2, 900, 1)]  # (n_input_frames, n_ticks, seed)
+    movies = []
+    for nf, nt, sd in specs:
+        main, aux = random_targets(nf, seed=40 + sd)
+        movies.append((main, aux, nf, nt))
+
+    seeds = np.asarray([s for _, _, s in specs])
+    flats, plan_max, n_ops = pmesh.encode_movies_mixed(
+        dist, movies, mode, input_frame_rate=fps, ticks_per_second=tps,
+        every_n_video_frames=1, k=k, seeds=seeds)
+    assert n_ops[0] > n_ops[1]
+    assert plan_max.n_ops == max(n_ops)
+
+    n_enc_max = int(plan_max.step_frame.max()) + 1
+
+    def pad(t):
+        if len(t) >= n_enc_max:
+            return t[:n_enc_max]
+        return np.concatenate(
+            [t, np.repeat(t[-1:], n_enc_max - len(t), axis=0)])
+
+    for i, (main, aux, nf, nt) in enumerate(movies):
+        pm, pa = pad(main), pad(aux)
+        lanes, bytes_ = encoder.prepare_targets(pm, pa, mode)
+        ops_solo, _, _ = encoder.encode_movie(
+            dist, lanes, bytes_, plan_max, mode, seed=int(seeds[i]))
+        flat_solo = encoder.flatten_ops(
+            np.asarray(ops_solo), plan_max)[:n_ops[i]]
+        assert flats[i].shape == (n_ops[i], 6)
+        assert np.array_equal(flats[i], flat_solo), "movie %d diverged" % i
+
+
+def test_mixed_length_streams_are_valid():
+    """Mixed-batch ops emit VM-decodable streams at each movie's true
+    length."""
+    from iivision_tpu.sim import PlayerVM
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    movies = []
+    for nf, nt, sd in [(3, 1500, 0), (2, 700, 1)]:
+        main, aux = random_targets(nf, seed=50 + sd)
+        movies.append((main, aux, nf, nt))
+    flats, plan_max, n_ops = pmesh.encode_movies_mixed(
+        dist, movies, mode, input_frame_rate=12.0, ticks_per_second=14700.0,
+        every_n_video_frames=1, k=8)
+    vm = PlayerVM()
+    for i, flat in enumerate(flats):
+        levels = np.zeros(n_ops[i], np.int32)
+        data = emit_stream_fast(flat, levels, mode)
+        res = vm.decode(data)
+        assert res.ok, (i, res.error, res.error_pos)
+        assert res.n_ops == n_ops[i]
+
+
+def test_sharded_batch_encode_on_virtual_mesh():
+    """Equal-plan batch encode sharded over the 8-virtual-device CPU mesh
+    matches the unsharded result."""
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    B = 8
+    main, aux = random_targets(2, seed=60)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=700, input_frame_rate=14700.0 / 350,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes, bytes_ = encoder.prepare_targets(main, aux, mode)
+    import jax.numpy as jnp
+    lanes_b = jnp.broadcast_to(lanes, (B,) + lanes.shape)
+    bytes_b = jnp.broadcast_to(bytes_, (B,) + bytes_.shape)
+    seeds = np.arange(B)
+
+    ops_plain, m_plain, _ = pmesh.encode_movies_batch(
+        dist, lanes_b, bytes_b, plan, mode, seeds=seeds)
+    mesh = pmesh.make_mesh()
+    ops_shard, m_shard, _ = pmesh.encode_movies_batch(
+        dist, lanes_b, bytes_b, plan, mode, seeds=seeds, mesh=mesh)
+    assert np.array_equal(pmesh.fetch_ops(ops_shard),
+                          pmesh.fetch_ops(ops_plain))
+    assert np.array_equal(np.asarray(m_shard), np.asarray(m_plain))
