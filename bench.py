@@ -123,7 +123,7 @@ def main():
         ops_b, _, _ = pmesh.encode_movies_batch(
             dist, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
             seeds=np.arange(B))
-        ops_b = pmesh.fetch_ops(ops_b)
+        ops_b = pmesh.fetch_ops(ops_b, m.plan)
         streams = []
         for i in range(B):
             flat = encoder.flatten_ops(ops_b[i], m.plan)
@@ -152,15 +152,15 @@ def main():
         return [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
                                  levels, VideoMode.DHGR) for i in range(B)]
 
-    R = 3
+    R = 4
     t0 = time.time()
-    prev = None
-    for r in range(R):
-        ops_dev = encode_async(r * B)  # async
-        if prev is not None:
-            emit_all(prev)  # host work overlaps device compute
-        prev = pmesh.fetch_ops(ops_dev)  # blocks on compute + transfer
-    streams = emit_all(prev)
+    pending = encode_async(0)  # two batches in flight: while batch r
+    for r in range(1, R):      # computes, batch r-1 transfers + emits
+        nxt = encode_async(r * B)
+        ops_np = pmesh.fetch_ops(pending, m.plan)
+        streams = emit_all(ops_np)
+        pending = nxt
+    streams = emit_all(pmesh.fetch_ops(pending, m.plan))
     pipe_wall = time.time() - t0
     pipe_x = R * B * stats["movie_seconds"] / pipe_wall
     log("pipelined %dx B=%d: %.2fs wall -> %.1fx realtime aggregate"

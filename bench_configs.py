@@ -177,7 +177,7 @@ def main():
     ops_b, _, _ = pmesh.encode_movies_batch(d, lanes_b, bytes_b, m.plan,
                                             VideoMode.DHGR,
                                             np.arange(1, B + 1))
-    ops_np = pmesh.fetch_ops(ops_b)
+    ops_np = pmesh.fetch_ops(ops_b, m.plan)
     streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
                                 levels, VideoMode.DHGR) for i in range(B)]
     wall = time.time() - t0

@@ -265,9 +265,16 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         def one_frame(fi):
             tl = lanes_tgt[fi]
             pl = prev_lanes[fi]
+            # one DP diff pass per frame, shared by both banks (diff_bank
+            # would recompute every lane per bank)
+            ds = [distance.dist_lane_pairs(
+                pl[..., l], tl[..., l], mode, l, sub)
+                for l in range(n_lanes)]
             outs_off, outs_res = [], []
             for b in range(n_banks):
-                dw0 = diff_bank(pl, tl, b, sub) * holes_i
+                le, lo = bank_lane_pair(b)
+                dw0 = (screen.interleave_bank_lanes(ds[le], ds[lo])
+                       .astype(jnp.int32) * holes_i)
                 sc = build_sc(tl, store_cost16, jnp.int32(b))
                 sct = sc.transpose(0, 2, 1)  # (32, C, 256) i16
                 delta = sct.astype(jnp.int32) - dw0[:, None, :]

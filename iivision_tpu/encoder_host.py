@@ -82,11 +82,12 @@ class HostEncoder:
             [np.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
              lanes_tgt[:-1]], axis=0)
         for f in range(F):
+            # one DP diff pass per frame, shared by both banks
+            ds = [np.asarray(distance.dist_lane_pairs(
+                prev[f, :, :, l], lanes_tgt[f, :, :, l], self.mode, l,
+                self.sub)) for l in range(int(self.spec.N_LANES))]
             for bank in range(self.n_banks):
                 le, lo = self._bank_lanes(bank)
-                ds = [np.asarray(distance.dist_lane_pairs(
-                    prev[f, :, :, l], lanes_tgt[f, :, :, l], self.mode, l,
-                    self.sub)) for l in range(int(self.spec.N_LANES))]
                 dw0 = screen.interleave_bank_lanes(
                     ds[le], ds[lo]).astype(np.int32) * self.not_hole
                 se = sc16[le][lanes_tgt[f, :, :, le]]

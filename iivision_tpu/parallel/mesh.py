@@ -52,7 +52,15 @@ def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
     scan = encoder._build_encode_scan(mode, k, deterministic)
     batched = jax.vmap(
         scan, in_axes=(None, None, 0, 0, None, None, None, None, 0))
-    return jax.jit(batched)
+
+    def batched_flat(*args):
+        # flatten ops inside the compiled program: the dense 1-D layout
+        # transfers 1.6x faster than the tiled (S,K,6) layout over thin
+        # host links, and no extra device program queues at fetch time
+        ops, main, aux = batched(*args)
+        return ops.reshape(ops.shape[0], -1), main, aux
+
+    return jax.jit(batched_flat)
 
 
 def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
@@ -62,8 +70,10 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
 
     lanes_tgt_b: (B, F, 32, 128, L); bytes_tgt_b: (B, F, 2, 32, 256);
     seeds: (B,) ints.  All movies share `plan` (same tick count and frame
-    schedule - e.g. fixed-length clips); group mixed-length batches by plan.
-    Returns (ops (B, S, K, 6), final main (B,32,256), final aux).
+    schedule - e.g. fixed-length clips); use encode_movies_mixed for
+    mixed-length batches.
+    Returns (ops (B, S*K*6) flat uint8 - see fetch_ops -, final main
+    (B,32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
@@ -136,23 +146,29 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
         seeds = np.arange(B)
     ops_b, _, _ = encode_movies_batch(
         dist, lanes_b, bytes_b, plan_max, mode, seeds=seeds, mesh=mesh)
-    ops_np = fetch_ops(ops_b)
+    ops_np = fetch_ops(ops_b, plan_max)
     flats = [encoder.flatten_ops(ops_np[i], plan_max)[:n_ops[i]]
              for i in range(B)]
     return flats, plan_max, n_ops
 
 
-def fetch_ops(ops_dev) -> np.ndarray:
-    """Transfer an encoder ops tensor to host at full link rate.
+def fetch_ops(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
+    """Transfer encoder ops to host and view as (..., S, K, 6).
 
-    The (..., S, K, 6) uint8 result of the encode scan has a tiled minor-dim
-    device layout that transfers ~1.6x slower than a dense buffer over thin
-    host links; flatten on device first, then reshape the host copy.
+    Accepts the flat (B, S*K*6) output of encode_movies_batch (preferred:
+    the flatten already happened inside the compiled scan) or an unflattened
+    (..., S, K, 6) tensor, which is flattened on device first - the tiled
+    minor-dim layout transfers ~1.6x slower than dense over thin host links.
     """
     import jax
 
-    flat = jax.jit(lambda o: o.reshape(-1))(ops_dev)
-    return np.asarray(flat).reshape(ops_dev.shape)
+    if ops_dev.ndim >= 3 and ops_dev.shape[-1] == encoder.OP_FIELDS:
+        shape = ops_dev.shape
+        flat = np.asarray(jax.jit(lambda o: o.reshape(-1))(ops_dev))
+        return flat.reshape(shape)
+    flat = np.asarray(ops_dev)  # (B, S*K*6) from encode_movies_batch
+    s = flat.shape[-1] // (plan.k * encoder.OP_FIELDS)
+    return flat.reshape(flat.shape[:-1] + (s, plan.k, encoder.OP_FIELDS))
 
 
 def build_tables_sharded(mode: VideoMode, palette, mesh,

@@ -107,6 +107,6 @@ def test_sharded_batch_encode_on_virtual_mesh():
     mesh = pmesh.make_mesh()
     ops_shard, m_shard, _ = pmesh.encode_movies_batch(
         dist, lanes_b, bytes_b, plan, mode, seeds=seeds, mesh=mesh)
-    assert np.array_equal(pmesh.fetch_ops(ops_shard),
-                          pmesh.fetch_ops(ops_plain))
+    assert np.array_equal(pmesh.fetch_ops(ops_shard, plan),
+                          pmesh.fetch_ops(ops_plain, plan))
     assert np.array_equal(np.asarray(m_shard), np.asarray(m_plain))
