@@ -40,7 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
     parser.add_argument("--two_pass", action="store_true",
-                        help="Higher-fidelity two-pass encode (~2x cost).")
+                        help="Obsolete (accepted, ignored): companions are "
+                             "now ranked against the live diff every step, "
+                             "which supersedes the two-pass re-ranking.")
     parser.add_argument("--chunk_frames", type=int, default=None,
                         help="Encode in segments of this many frames "
                              "(bounded device memory for long movies; "

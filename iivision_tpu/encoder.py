@@ -21,11 +21,14 @@ TPU redesign, three layers:
 
 3. Amortised distance work.  Store costs depend only on (target lane
    window, content): a small store-cost table (ops/distance.py).  At each
-   memory bank's first chunk of a frame the scan precomputes, per (page,
-   content byte), the top-J companion offsets and their residual costs -
-   a few MXU matmuls + one top_k - so each step just intersects ranked
-   candidate lists with live priorities.  The per-chunk diff recompute runs
-   the Damerau-Levenshtein diagonal DP on the fly.
+   (frame, bank) chunk start the scan gathers the bank's full cost slab
+   sc[page, offset, content] into state (contiguous-row gathers from the
+   small table); every step then ranks companion offsets for its (page,
+   content) pairs against the LIVE diff with two one-hot MXU contractions
+   + three masked argmaxes - the same per-op companion semantics as the
+   reference's compute_delta_page (reference video.py:275-301,
+   screen.py:525-547), with zero random gathers.  The per-chunk diff
+   recompute runs the Damerau-Levenshtein diagonal DP on the fly.
 
 Scheduling semantics mirrored from the reference encode loop (reference
 transcoder/movie.py:56-111):
@@ -41,9 +44,9 @@ transcoder/movie.py:56-111):
 
 Documented divergences from the reference greedy (shared with the host
 oracle in encoder_host.py): priorities are arrays (argmax always sees
-current values, unlike the stale-able heap); tie-breaks are seeded; and
-companion candidates are ranked once per (frame, bank) against that chunk's
-diff weights rather than against partially-zeroed weights per op.
+current values, unlike the stale-able heap); tie-breaks are seeded (pages
+and primary offsets) or lowest-index (companions); and the bank's diff
+weights refresh at chunk starts rather than per op.
 """
 
 import functools
@@ -58,8 +61,6 @@ from iivision_tpu.stream import opcodes as ops_mod
 from iivision_tpu.video_mode import VideoMode
 
 OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
-CAND_J = 8  # ranked companion candidates kept per (page, content byte)
-INVALID_OFF = 256  # candidate sentinel: one-hot over 0..255 vanishes
 
 
 # --- host-side movie planning -------------------------------------------------
@@ -185,9 +186,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
     n_banks = 2 if mode == VideoMode.DHGR else 1
     N = 1 << int(spec.MASKED_BITS)
     C = distance.n_contents(mode)
-    J = CAND_J
     holes_i = jnp.asarray((~screen.SCREEN_HOLES).astype(np.int32))
-    holes_f = holes_i.astype(jnp.float32)
 
     def lanes_of(banks):
         if mode == VideoMode.DHGR:
@@ -234,97 +233,24 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         return jax.lax.cond(bank == 1, lambda: for_bank(1),
                             lambda: for_bank(0))
 
-    def precompute_candidates(store_cost, sub, lanes_tgt,
-                              start_lanes=None, prev0_lanes=None):
-        """Ranked companion candidates for ALL frames and banks, built in one
-        batched pass before the scan (no sequential dependency).
-
-        For every (frame, bank, page, content c): delta0[o] = cost(store c
-        at o) - dw0[o], where dw0 approximates the screen state at the
-        frame's start by the *previous encoded target* (exact wherever the
-        previous frame converged; frame 0 uses the blank boot screen, which
-        is exact).  The J most negative deltas are kept as (offset,
-        residual-cost) pairs, ties to lowest offset.  At run time each
-        candidate is re-checked against live priorities AND the true current
-        diff (resid < dw), so the approximation only affects candidate
-        *ranking*, never correctness.
-
-        Returns (cand_off (F, n_banks, 32, C, J) int16 with INVALID_OFF
-        sentinel, cand_resid (F, n_banks, 32, C, J) int16).
-        """
-        store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
-        F = lanes_tgt.shape[0]
-        if start_lanes is None:
-            first = (jnp.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype)
-                     if prev0_lanes is None else
-                     prev0_lanes[None].astype(lanes_tgt.dtype))
-            prev_lanes = jnp.concatenate([first, lanes_tgt[:-1]], axis=0)
-        else:
-            prev_lanes = start_lanes  # exact frame-start screens (2-pass)
-
-        def one_frame(fi):
-            tl = lanes_tgt[fi]
-            pl = prev_lanes[fi]
-            # one DP diff pass per frame, shared by both banks (diff_bank
-            # would recompute every lane per bank)
-            ds = [distance.dist_lane_pairs(
-                pl[..., l], tl[..., l], mode, l, sub)
-                for l in range(n_lanes)]
-            outs_off, outs_res = [], []
-            for b in range(n_banks):
-                le, lo = bank_lane_pair(b)
-                dw0 = (screen.interleave_bank_lanes(ds[le], ds[lo])
-                       .astype(jnp.int32) * holes_i)
-                sc = build_sc(tl, store_cost16, jnp.int32(b))
-                sct = sc.transpose(0, 2, 1)  # (32, C, 256) i16
-                delta = sct.astype(jnp.int32) - dw0[:, None, :]
-                eligible = (delta < 0) & (holes_i[:, None, :] > 0)
-                # keep the sort keys 16-bit: TPU top_k cost scales with key
-                # width (i32/f32 keys measured 3.7x slower)
-                score = jnp.where(eligible, -delta, -1).astype(jnp.int16)
-                top, idx = jax.lax.top_k(score, J)  # (32, C, J)
-                # residual cost after the store = dw0[idx] - score[idx],
-                # which collapses to the store cost sct[idx]; extract it
-                # with a one-hot contraction - random gathers here cost 3x
-                # the whole rest of the stage on TPU
-                oh = (idx[..., None] == jnp.arange(256)).astype(jnp.float32)
-                resid = jnp.einsum(
-                    "pcjo,pco->pcj", oh, sct.astype(jnp.float32),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-                outs_off.append(jnp.where(top > 0, idx, INVALID_OFF)
-                                .astype(jnp.int16))
-                outs_res.append(resid.astype(jnp.int16))
-            return jnp.stack(outs_off), jnp.stack(outs_res)
-
-        co, cr = jax.lax.map(one_frame, jnp.arange(F, dtype=jnp.int32))
-        return co, cr
-
-    def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, cand_off,
-                    cand_resid, step_frame, step_bank, step_recompute,
-                    step_nvalid, key, capture_starts=False,
+    def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
+                    step_frame, step_bank, step_recompute,
+                    step_nvalid, key,
                     step_index=None, init_state=None, return_state=False):
+        store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
         S = step_frame.shape[0]
-        F = lanes_tgt.shape[0]
-        cand_off_flat = cand_off.reshape(-1, J)
-        cand_resid_flat = cand_resid.reshape(-1, J)
-        # a step is a frame start iff its frame differs from the previous
-        # step's frame (first step included)
-        prev_f = jnp.concatenate(
-            [jnp.full((1,), -1, step_frame.dtype), step_frame[:-1]])
-        step_frame_start = step_frame != prev_f
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
         if init_state is None:
-            state0 = dict(banks=zero, up=zero, dw=zero)
+            state0 = dict(banks=zero, up=zero, dw=zero,
+                          sc=jnp.zeros((32 * C, 256), jnp.int16))
         else:
             state0 = dict(init_state)
-        if capture_starts:
-            state0["fs_banks"] = jnp.zeros((F, n_banks, 32, 256), jnp.uint8)
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
         def step(state, xs):
-            step_i, frame, bank, recompute, nvalid, frame_start = xs
+            step_i, frame, bank, recompute, nvalid = xs
             skey = jax.random.fold_in(key, step_i)
 
             def nonce(sub_i, shape):
@@ -342,14 +268,19 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             dw_b = jax.lax.dynamic_index_in_dim(
                 state["dw"], bank_c, 0, keepdims=False)
 
-            # -- chunk-start recompute (on-the-fly DP diff) -----------------
-            def do_recompute(up, dw):
+            # -- chunk-start recompute: on-the-fly DP diff + cost slab ------
+            def do_recompute(up, dw, slab):
                 cur = lanes_of(state["banks"])
                 d = diff_bank(cur, tl, bank, sub) * holes_i
-                return jnp.where(d == 0, 0, up) + d, d
+                # slab row p*C + c = costs of storing content c over page
+                # p's 256 offsets (row-gather-friendly layout)
+                new_slab = build_sc(tl, store_cost16, bank).transpose(
+                    0, 2, 1).reshape(32 * C, 256)
+                return jnp.where(d == 0, 0, up) + d, d, new_slab
 
-            up_b, dw_b = jax.lax.cond(
-                recompute, do_recompute, lambda u, d: (u, d), up_b, dw_b)
+            up_b, dw_b, slab = jax.lax.cond(
+                recompute, do_recompute, lambda u, d, s: (u, d, s),
+                up_b, dw_b, state["sc"])
 
             # -- page selection --------------------------------------------
             page_max = jnp.max(up_b, axis=1)  # (32,)
@@ -375,35 +306,35 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             off0_oh = (offset0[:, None] == iota_256).astype(jnp.float32)
             content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
 
-            # -- companions: ranked candidates x live priorities ------------
-            rows = ((frame * n_banks + bank_c) * 32 + pages) * C + content
-            off_cand = jnp.take(cand_off_flat, rows, axis=0).astype(
-                jnp.int32)  # (K, J)
-            resid_cand = jnp.take(cand_resid_flat, rows, axis=0).astype(
-                jnp.float32)
-            oh_cand = (off_cand[:, :, None] == iota_256[None]).astype(
-                jnp.float32)  # (K, J, 256); INVALID_OFF rows vanish
-            updw = jnp.stack([up_p, dw_p], axis=1)  # (K, 2, 256)
-            cand_vals = jnp.einsum("kjo,kmo->kmj", oh_cand, updw,
-                                   preferred_element_type=jnp.float32)
-            up_cand, dw_cand = cand_vals[:, 0], cand_vals[:, 1]
-            # freshness: the store must still improve on the live diff
-            ok = (up_cand > 0.0) & (off_cand != offset0[:, None]) \
-                & (off_cand < INVALID_OFF) & (resid_cand < dw_cand)
-            rank = jnp.cumsum(ok.astype(jnp.int32), axis=1) * ok
-            sel = ok & (rank <= 3)
-            self_f = sel.astype(jnp.float32)
-            weights = jnp.stack([self_f, self_f * resid_cand],
-                                axis=1)  # (K, 2, J)
-            rows2 = jnp.einsum("kjo,kmj->kmo", oh_cand, weights,
-                               preferred_element_type=jnp.float32)
-            acc_rows, resid_rows = rows2[:, 0], rows2[:, 1]
-            # emission slots: candidate with rank s+1, else primary offset
-            slot_hit = (rank[:, None, :] ==
-                        (jnp.arange(3) + 1)[None, :, None]) & sel[:, None, :]
-            off3 = jnp.sum(slot_hit * off_cand[:, None, :], axis=2)
-            found = jnp.any(slot_hit, axis=2)
-            off3_eff = jnp.where(found, off3, offset0[:, None])
+            # -- companions: rank ALL offsets against the LIVE diff ---------
+            # sc rows for each slot's (page, content): contiguous-row
+            # gathers from the bank's cost slab - the same semantics as the
+            # reference's per-op compute_delta_page (video.py:275-301)
+            rows = pages * C + content  # (K,)
+            sc_row = jnp.take(slab, rows, axis=0).astype(
+                jnp.float32)  # (K, 256)
+            # eligible: still-pending offset (up>0 also excludes screen
+            # holes, which never take priority) that the store improves
+            score = dw_p - sc_row
+            elig = (up_p > 0.0) & (score > 0.0) \
+                & (iota_256 != offset0[:, None])
+            s = jnp.where(elig, score, -1.0)
+            oh_sel, off_sel, resid_sel = [], [], []
+            for _ in range(3):  # best three, ties to lowest offset
+                o = jnp.argmax(s, axis=1)
+                oh = (o[:, None] == iota_256).astype(jnp.float32)
+                hit = jnp.sum(s * oh, axis=1) > 0.0
+                hitf = hit.astype(jnp.float32)[:, None]
+                off_sel.append(jnp.where(hit, o, offset0))
+                oh_sel.append(oh * hitf)
+                resid_sel.append(jnp.sum(sc_row * oh, axis=1)
+                                 * hit.astype(jnp.float32))
+                s = jnp.where(oh > 0, -1.0, s)
+            acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]  # disjoint 0/1
+            resid_rows = (oh_sel[0] * resid_sel[0][:, None]
+                          + oh_sel[1] * resid_sel[1][:, None]
+                          + oh_sel[2] * resid_sel[2][:, None])
+            off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
 
             # -- state updates as one fused one-hot matmul write ------------
             umask_rows = (off0_oh + acc_rows) * realf  # 0/1, disjoint
@@ -429,13 +360,8 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                     state["up"], new_up_b, bank_c, 0),
                 dw=jax.lax.dynamic_update_index_in_dim(
                     state["dw"], new_dw_b, bank_c, 0),
+                sc=slab,
             )
-            if capture_starts:
-                # record the screen as it stood when this frame began
-                cur = state["fs_banks"]
-                snap = jax.lax.dynamic_update_index_in_dim(
-                    cur, state["banks"].astype(jnp.uint8), frame, 0)
-                new_state["fs_banks"] = jnp.where(frame_start, snap, cur)
 
             # -- emit -------------------------------------------------------
             pad_content = tb[0, 0]
@@ -449,93 +375,52 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
         if step_index is None:
             step_index = jnp.arange(S, dtype=jnp.int32)
         xs = (step_index, step_frame, step_bank,
-              step_recompute, step_nvalid, step_frame_start)
+              step_recompute, step_nvalid)
         final, ops = jax.lax.scan(step, state0, xs)
         if return_state:
             return ops, final
         main = final["banks"][0]
         aux = final["banks"][n_banks - 1] if n_banks == 2 else \
             final["banks"][0]
-        if capture_starts:
-            return ops, main, aux, final["fs_banks"]
         return ops, main, aux
-
-    def start_lanes_of(fs_banks):
-        """Frame-start screens (F, n_banks, 32, 256) u8 -> masked lanes."""
-        if mode == VideoMode.DHGR:
-            return screen.dhgr_masked_lanes(fs_banks[:, 0], fs_banks[:, 1])
-        return screen.hgr_masked_lanes(fs_banks[:, 0])
 
     def full(store_cost, sub, lanes_tgt, bytes_tgt, step_frame, step_bank,
              step_recompute, step_nvalid, key):
-        co, cr = precompute_candidates(store_cost, sub, lanes_tgt)
-        return encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, co, cr,
+        return encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
                            step_frame, step_bank, step_recompute,
                            step_nvalid, key)
 
-    def full_two_pass(store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
-                      step_bank, step_recompute, step_nvalid, key):
-        """Quality mode: pass 1 captures each frame's true start screen;
-        pass 2 ranks candidates against the exact frame-start diffs."""
-        co, cr = precompute_candidates(store_cost, sub, lanes_tgt)
-        _, _, _, fs_banks = encode_scan(
-            store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
-            step_bank, step_recompute, step_nvalid, key,
-            capture_starts=True)
-        co2, cr2 = precompute_candidates(
-            store_cost, sub, lanes_tgt, start_lanes_of(fs_banks))
-        return encode_scan(store_cost, sub, lanes_tgt, bytes_tgt, co2, cr2,
-                           step_frame, step_bank, step_recompute,
-                           step_nvalid, key)
-
-    def chunk(store_cost, sub, lanes_tgt, bytes_tgt, prev0_lanes,
+    def chunk(store_cost, sub, lanes_tgt, bytes_tgt,
               step_frame, step_bank, step_recompute, step_nvalid,
-              step_index, banks0, up0, dw0, key, two_pass=False):
-        """One segment of a chunked movie: carries (banks, up, dw) state in
-        and out so arbitrarily long movies encode in bounded memory.
+              step_index, banks0, up0, dw0, sc0, key):
+        """One segment of a chunked movie: carries (banks, up, dw, sc) state
+        in and out so arbitrarily long movies encode in bounded memory.
 
-        Candidate ranking matches the unchunked encoder exactly: the segment's
-        first frame ranks against `prev0_lanes` (the previous segment's last
-        target; blank screen for segment 0) and nonces fold the ABSOLUTE step
-        index, so single-pass chunked output is bit-identical to unchunked.
+        Output matches the unchunked encoder bit-for-bit: nonces fold the
+        ABSOLUTE step index and every segment's first step is a frame start
+        (recompute=True rebuilds the diff and cost slab from carried state).
         """
-        init = dict(banks=banks0, up=up0, dw=dw0)
-        co, cr = precompute_candidates(store_cost, sub, lanes_tgt,
-                                       prev0_lanes=prev0_lanes)
-        if two_pass:
-            _, fin1 = encode_scan(
-                store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
-                step_bank, step_recompute, step_nvalid, key,
-                capture_starts=True, step_index=step_index,
-                init_state=init, return_state=True)
-            co, cr = precompute_candidates(
-                store_cost, sub, lanes_tgt,
-                start_lanes=start_lanes_of(fin1["fs_banks"]))
+        init = dict(banks=banks0, up=up0, dw=dw0, sc=sc0)
         ops, fin = encode_scan(
-            store_cost, sub, lanes_tgt, bytes_tgt, co, cr, step_frame,
+            store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
             step_bank, step_recompute, step_nvalid, key,
             step_index=step_index, init_state=init, return_state=True)
-        return ops, fin["banks"], fin["up"], fin["dw"]
+        return ops, fin["banks"], fin["up"], fin["dw"], fin["sc"]
 
-    full.two_pass = full_two_pass
     full.chunk = chunk
     return full
 
 
 @functools.lru_cache(None)
-def _jitted_encode(mode: VideoMode, k: int, deterministic: bool,
-                   two_pass: bool = False):
+def _jitted_encode(mode: VideoMode, k: int, deterministic: bool):
     import jax
-    fn = _build_encode_scan(mode, k, deterministic)
-    return jax.jit(fn.two_pass if two_pass else fn)
+    return jax.jit(_build_encode_scan(mode, k, deterministic))
 
 
 @functools.lru_cache(None)
-def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool,
-                  two_pass: bool = False):
+def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool):
     import jax
-    fn = _build_encode_scan(mode, k, deterministic)
-    return jax.jit(functools.partial(fn.chunk, two_pass=two_pass))
+    return jax.jit(_build_encode_scan(mode, k, deterministic).chunk)
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
@@ -545,14 +430,16 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
 
     dist: a distance.ComputedDistance for (mode, palette).
     seed=None disables random tie-breaks (deterministic; for testing).
-    two_pass=True re-ranks companion candidates against each frame's true
-    start screen (captured in a first pass) - higher fidelity, ~2x cost.
+    two_pass is accepted for API compatibility and ignored: companion
+    offsets are now ranked against the live diff at every step, which
+    strictly supersedes the old two-pass frame-start re-ranking.
     Returns (ops (S, K, 6) uint8, final main (32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_encode(mode, plan.k, seed is None, two_pass)
+    del two_pass  # obsolete: live companion ranking is always on
+    fn = _jitted_encode(mode, plan.k, seed is None)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
               lanes_tgt, bytes_tgt,
@@ -569,15 +456,12 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     Splits the plan at encoded-frame boundaries into segments of at most
     `chunk_frames` frames, transfers each segment's uint8 target banks to the
     device on demand (lanes are derived on-device), and carries the encoder
-    state (screen banks, update priorities, live diffs) across segments.
-    Candidate tables - the memory hog at ~260KB/frame - only ever exist for
-    one segment.  All segments pad to one (S, F) shape: one compile total.
+    state (screen banks, update priorities, live diffs, cost slab) across
+    segments.  All segments pad to one (S, F) shape: one compile total.
 
-    Single-pass chunked output is bit-identical to `encode_movie` (same seed):
-    nonces fold absolute step indices and each segment's first frame ranks
-    candidates against the previous segment's last target.  Two-pass chunked
-    differs from unchunked two-pass only in that pass 1 of segment i starts
-    from pass-2 state of segment i-1 (strictly *more* accurate frame starts).
+    Chunked output is bit-identical to `encode_movie` (same seed): nonces
+    fold absolute step indices and every segment starts with a recompute
+    step that rebuilds diff + cost slab from the carried screen state.
 
     frames_main/frames_aux: (F, 32, 256) uint8 target banks (aux None for
     HGR).  Returns (ops (S_total, K, 6) uint8 numpy, final main, final aux).
@@ -585,6 +469,8 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     import jax
     import jax.numpy as jnp
 
+    del two_pass  # obsolete: live companion ranking is always on
+    from iivision_tpu.ops import distance as dist_mod
     frames_main = np.asarray(frames_main)
     n_banks = 2 if mode == VideoMode.DHGR else 1
     sf = plan.step_frame
@@ -596,13 +482,13 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
     F_pad = min(chunk_frames, f_max + 1)
 
-    fn = _jitted_chunk(mode, plan.k, seed is None, two_pass)
+    fn = _jitted_chunk(mode, plan.k, seed is None)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
     zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
     banks, up, dw = zero, zero, zero
-    prev0 = None
+    sc = jnp.zeros((32 * dist_mod.n_contents(mode), 256), jnp.int16)
     ops_all = []
 
     def pad_frames(a, F):
@@ -618,8 +504,6 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
             pad_frames(frames_main[f0:f1], F),
             pad_frames(None if frames_aux is None
                        else np.asarray(frames_aux)[f0:f1], F), mode)
-        if prev0 is None:
-            prev0 = jnp.zeros_like(lanes_c[0])
 
         def pad_steps(a, fill):
             out = np.full(S_pad, fill, a.dtype)
@@ -627,16 +511,15 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
             return jnp.asarray(out)
 
         # pad steps repeat the last real (frame, bank) with nvalid=0 and no
-        # recompute: pure no-ops that cannot trip frame-start capture
-        ops_c, banks, up, dw = fn(
-            store_cost, sub, lanes_c, bytes_c, prev0,
+        # recompute: pure no-ops
+        ops_c, banks, up, dw, sc = fn(
+            store_cost, sub, lanes_c, bytes_c,
             pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
             pad_steps(plan.step_bank, int(plan.step_bank[s1 - 1])),
             pad_steps(plan.step_recompute, False),
             pad_steps(plan.step_nvalid, 0),
             pad_steps(np.arange(len(sf), dtype=np.int32), 0),
-            banks, up, dw, key)
-        prev0 = lanes_c[F - 1]
+            banks, up, dw, sc, key)
         ops_all.append(np.asarray(ops_c[:S]))
 
     main = np.asarray(banks[0])

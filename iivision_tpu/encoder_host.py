@@ -14,7 +14,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from iivision_tpu import screen
-from iivision_tpu.encoder import CAND_J, INVALID_OFF
 from iivision_tpu.ops import distance
 from iivision_tpu.video_mode import VideoMode
 
@@ -34,8 +33,9 @@ class HostEncoder:
         self.banks = np.zeros((self.n_banks, 32, 256), np.int32)
         self.up = np.zeros((self.n_banks, 32, 256), np.int32)
         self.dw = np.zeros((self.n_banks, 32, 256), np.int32)
-        self.cand_off = None  # set by precompute_candidates
-        self.cand_resid = None
+        # the active bank's store-cost slab sc[page, offset, content],
+        # rebuilt at every chunk-start recompute (mirrors the scan state)
+        self.sc = np.zeros((32, 256, self.C), np.int32)
         self.not_hole = (~screen.SCREEN_HOLES).astype(np.int32)
         self.rng = np.random.RandomState(seed) if seed is not None else None
 
@@ -55,58 +55,23 @@ class HostEncoder:
         return self.rng.uniform(size=shape).astype(np.float32)
 
     def recompute(self, tgt_lanes, bank: int):
+        """Chunk-start refresh: DP diff of the active bank + its store-cost
+        slab sc[page, offset, content] (mirrors the scan's do_recompute)."""
         cur = self._cur_lanes()
         ds = [np.asarray(distance.dist_lane_pairs(
             cur[:, :, l], tgt_lanes[:, :, l], self.mode, l, self.sub))
             for l in range(int(self.spec.N_LANES))]
-        if self.mode == VideoMode.DHGR:
-            le, lo = self._bank_lanes(bank)
-            d = screen.interleave_bank_lanes(ds[le], ds[lo])
-        else:
-            d = screen.interleave_bank_lanes(ds[0], ds[1])
+        le, lo = self._bank_lanes(bank)
+        d = screen.interleave_bank_lanes(ds[le], ds[lo])
         d = d.astype(np.int32) * self.not_hole
         up = self.up[bank]
         self.up[bank] = np.where(d == 0, 0, up) + d
         self.dw[bank] = d
-
-    def precompute_candidates(self, lanes_tgt):
-        """Mirror of the encoder's all-frames candidate precompute: ranked
-        per-content candidates against the previous-target diff (dw0)."""
-        F = lanes_tgt.shape[0]
-        self.cand_off = np.full((F, self.n_banks, 32, self.C, CAND_J),
-                                INVALID_OFF, np.int32)
-        self.cand_resid = np.zeros((F, self.n_banks, 32, self.C, CAND_J),
-                                   np.float32)
         sc16 = self.store_cost.astype(np.int16)
-        prev = np.concatenate(
-            [np.zeros((1,) + lanes_tgt.shape[1:], lanes_tgt.dtype),
-             lanes_tgt[:-1]], axis=0)
-        for f in range(F):
-            # one DP diff pass per frame, shared by both banks
-            ds = [np.asarray(distance.dist_lane_pairs(
-                prev[f, :, :, l], lanes_tgt[f, :, :, l], self.mode, l,
-                self.sub)) for l in range(int(self.spec.N_LANES))]
-            for bank in range(self.n_banks):
-                le, lo = self._bank_lanes(bank)
-                dw0 = screen.interleave_bank_lanes(
-                    ds[le], ds[lo]).astype(np.int32) * self.not_hole
-                se = sc16[le][lanes_tgt[f, :, :, le]]
-                so = sc16[lo][lanes_tgt[f, :, :, lo]]
-                sc = np.stack([se, so], axis=2).reshape(32, 256, self.C)
-                delta = (sc.transpose(0, 2, 1).astype(np.int32)
-                         - dw0[:, None, :])
-                eligible = (delta < 0) & (self.not_hole[:, None, :] > 0)
-                score = np.where(eligible, -delta, -1).astype(np.int16)
-                order = np.argsort(-score, axis=-1,
-                                   kind="stable")[..., :CAND_J]
-                top = np.take_along_axis(score, order, axis=-1)
-                # residual after the store = dw0[idx] - score[idx] = the
-                # store cost itself (mirrors the encoder's one-hot form)
-                resid = np.take_along_axis(
-                    sc.transpose(0, 2, 1), order, axis=-1).astype(np.float32)
-                self.cand_off[f, bank] = np.where(top > 0, order,
-                                                  INVALID_OFF)
-                self.cand_resid[f, bank] = resid
+        se = sc16[le][tgt_lanes[:, :, le]]  # (32, 128, C)
+        so = sc16[lo][tgt_lanes[:, :, lo]]
+        self.sc = np.stack([se, so], axis=2).reshape(
+            32, 256, self.C).astype(np.int32)
 
     def step(self, tgt_bytes, frame: int, bank: int,
              nvalid: int) -> List[Tuple]:
@@ -130,18 +95,22 @@ class HostEncoder:
             off0 = int(np.argmax(off_score))
             content = int(tgt_bytes[pg, off0])
 
+            # companions: rank all offsets of the page against the LIVE
+            # diff (mirrors the scan's slab contraction + 3 argmaxes)
+            sc_row = self.sc[pg, :, content]  # (256,)
+            cscore = dw[pg] - sc_row
+            elig = (up[pg] > 0) & (cscore > 0) \
+                & (np.arange(256) != off0)
+            s = np.where(elig, cscore.astype(np.float32), -1.0)
             offs = [off0]
-            for j in range(CAND_J):
-                if len(offs) == 4:
+            for _ in range(3):  # best three, ties to lowest offset
+                o = int(np.argmax(s))
+                if s[o] <= 0.0:
                     break
-                o = int(self.cand_off[frame, bank, pg, content, j])
-                resid = self.cand_resid[frame, bank, pg, content, j]
-                if (o >= INVALID_OFF or o == off0 or up[pg, o] <= 0
-                        or not (resid < dw[pg, o])):
-                    continue
                 offs.append(o)
-                up[pg, o] = int(resid)
+                up[pg, o] = int(sc_row[o])
                 bank_bytes[pg, o] = content
+                s[o] = -1.0
             while len(offs) < 4:
                 offs.append(off0)
             bank_bytes[pg, off0] = content
@@ -157,7 +126,6 @@ def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
     enc = HostEncoder(mode, dist, k=plan.k, seed=seed)
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
-    enc.precompute_candidates(lanes_tgt)
     out = []
     for s in range(len(plan.step_frame)):
         f = int(plan.step_frame[s])

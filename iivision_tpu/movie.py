@@ -50,7 +50,7 @@ class Movie:
             audio_source: Optional[audio_mod.Audio] = None,
             dist=None,
             frame_rate: Optional[float] = None,
-            two_pass: bool = False,
+            two_pass: bool = False,  # obsolete, accepted + ignored
             chunk_frames: Optional[int] = None,
     ):
         self.filename = filename

@@ -115,7 +115,6 @@ def test_host_vs_scan_differential(mode, k):
     # final screen state matches the host too
     henc = encoder_host.HostEncoder(mode, dist, k=k, seed=None)
     lanes_np, bytes_np = np.asarray(lanes_tgt), np.asarray(bytes_tgt)
-    henc.precompute_candidates(lanes_np)
     for s in range(len(plan.step_frame)):
         f = int(plan.step_frame[s])
         b = int(plan.step_bank[s])
@@ -196,38 +195,13 @@ def test_chunked_matches_unchunked(mode, seed, chunk):
     assert np.array_equal(aux_c, np.asarray(aux_ref))
 
 
-def test_chunked_two_pass_stream_quality():
-    """Two-pass chunked encode yields a valid stream with quality within
-    noise of unchunked two-pass (segment starts are exact in both)."""
+def test_two_pass_flag_is_noop():
+    """two_pass is accepted for API compatibility but live companion
+    ranking (always on) supersedes it: outputs are identical, the stream is
+    VM-decodable, and replay quality is finite."""
     from iivision_tpu import quality
-
-    mode = VideoMode.DHGR
-    dist = get_dist(mode)
-    fmain, faux = random_frames(mode, n_frames=4, seed=5)
-    plan, _ = encoder.plan_movie(
-        n_frames=4, n_audio_ticks=2000, input_frame_rate=24.0,
-        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
-    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
-
-    ops_ref, _, _ = encoder.encode_movie(
-        dist, lanes_tgt, bytes_tgt, plan, mode, seed=2, two_pass=True)
-    rep_ref = quality.replay_frame_errors(
-        encoder.flatten_ops(np.asarray(ops_ref), plan), plan, lanes_tgt,
-        mode, dist)
-
-    ops_c, _, _ = encoder.encode_movie_chunked(
-        dist, fmain, faux, plan, mode, seed=2, two_pass=True,
-        chunk_frames=2)
-    flat_c = encoder.flatten_ops(ops_c, plan)
-    assert flat_c.shape == (plan.n_ops, 6)
-    rep_c = quality.replay_frame_errors(flat_c, plan, lanes_tgt, mode, dist)
-    assert rep_c.mean_error <= rep_ref.mean_error * 1.10
-
-
-def test_two_pass_encode():
-    """Two-pass encode produces a valid, VM-decodable stream with quality at
-    least as good as single-pass (same seed, same movie)."""
-    from iivision_tpu import quality
+    from iivision_tpu.sim import PlayerVM
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
 
     mode = VideoMode.DHGR
     dist = get_dist(mode)
@@ -237,13 +211,18 @@ def test_two_pass_encode():
         ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
 
-    reps = {}
+    flats = {}
     for tp in (False, True):
         ops_dev, fin_m, fin_a = encoder.encode_movie(
             dist, lanes_tgt, bytes_tgt, plan, mode, seed=3, two_pass=tp)
-        flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
-        assert flat.shape == (plan.n_ops, 6)
-        reps[tp] = quality.replay_frame_errors(
-            flat, plan, lanes_tgt, mode, dist)
-    # two-pass must not be worse (allow small noise margin)
-    assert reps[True].mean_error <= reps[False].mean_error * 1.05
+        flats[tp] = encoder.flatten_ops(np.asarray(ops_dev), plan)
+        assert flats[tp].shape == (plan.n_ops, 6)
+    assert np.array_equal(flats[False], flats[True])
+
+    rep = quality.replay_frame_errors(flats[False], plan, lanes_tgt,
+                                      mode, dist)
+    assert np.isfinite(rep.mean_error)
+    data = emit_stream_fast(flats[False], np.zeros(plan.n_ops, np.int32),
+                            mode)
+    res = PlayerVM().decode(data)
+    assert res.ok, (res.error, res.error_pos)
