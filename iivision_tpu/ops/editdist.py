@@ -234,6 +234,46 @@ def _editdist_kernel_factory(L: int, tile_m: int, tile_n: int):
     return kernel
 
 
+def pallas_distance(codes_a, codes_b, sub, tile_m: int, tile_n: int,
+                    interpret: bool = False):
+    """(n_a, n_b) uint16 pair-distance matrix via the fused Pallas kernel.
+
+    codes_a/codes_b: (n, L) int32 pixel-code strings; sub: (16, 16) f32
+    CIE2000 substitution costs.  tile_m|n must divide n_a|n_b.
+    interpret=True runs the kernel in Pallas interpret mode (CPU-testable).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    n_a, L = codes_a.shape
+    n_b = codes_b.shape[0]
+    kernel = _editdist_kernel_factory(L, tile_m, tile_n)
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_a, n_b), jnp.int32),
+        grid=(n_a // tile_m, n_b // tile_n),
+        in_specs=[
+            pl.BlockSpec((tile_m, L), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, L), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )
+
+    @jax.jit
+    def run(a, b, s):
+        return call(a, b, s).astype(jnp.uint16)
+
+    return run(codes_a, codes_b, sub)
+
+
 def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
                                 tile_m: Optional[int] = None,
                                 tile_n: Optional[int] = None):
@@ -243,9 +283,6 @@ def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
     all L recurrence steps; HBM traffic is the uint16 output tile plus the
     tiny code/cost inputs.  Grid = (N/tile_m, N/tile_n).
     """
-    import jax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
     import jax.numpy as jnp
 
     codes_np = lane_pixel_codes(mode, lane).astype(np.int32)
@@ -260,30 +297,7 @@ def edit_distance_matrix_pallas(mode: VideoMode, palette: Palette, lane: int,
     if tile_n is None:
         tile_n = 1024 if L <= 12 else 512
 
-    kernel = _editdist_kernel_factory(L, tile_m, tile_n)
-
-    grid = (n // tile_m, n // tile_n)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_m, L), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, L), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-    )
-
-    @jax.jit
-    def run(codes, sub):
-        return call(codes, codes, sub).astype(jnp.uint16)
-
-    return run(codes, sub)
+    return pallas_distance(codes, codes, sub, tile_m, tile_n)
 
 
 # --- public API -----------------------------------------------------------------
