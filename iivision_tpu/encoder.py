@@ -292,10 +292,15 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
             real = has_work & (iota_k < nvalid)
             realf = real.astype(jnp.float32)[:, None]
 
-            # one fused page-row extraction for up/dw/target bytes
+            # one fused page-row extraction for up/dw/target bytes.
+            # HIGHEST precision: TPU's default single-pass bf16 matmul
+            # rounds the extracted VALUES (priorities exceed bf16's exact
+            # integer range), silently changing selections vs the host
+            # oracle; with HIGHEST, CPU and TPU streams are bit-identical.
             stacked = jnp.concatenate(
                 [up_b, dw_b, tb], axis=1).astype(jnp.float32)  # (32, 768)
             proj = jnp.dot(P, stacked,
+                           precision=jax.lax.Precision.HIGHEST,
                            preferred_element_type=jnp.float32)  # (K, 768)
             up_p, dw_p, tb_p = (proj[:, :256], proj[:, 256:512],
                                 proj[:, 512:])
@@ -343,6 +348,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                  umask_rows * content[:, None].astype(jnp.float32)],
                 axis=1)  # (K, 1024)
             wr = jnp.dot(P.T, back,
+                         precision=jax.lax.Precision.HIGHEST,
                          preferred_element_type=jnp.float32)  # (32, 1024)
             M_up, V_up = wr[:, :256], wr[:, 256:512]
             M_dw, V_bytes = wr[:, 512:768], wr[:, 768:]

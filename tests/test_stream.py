@@ -138,3 +138,37 @@ def test_segment_schedule():
     segs = framing.segment_schedule(291 + 292 + 100)
     assert segs == [(291, False), (292, True), (100, False)]
     assert framing.segment_schedule(5) == [(5, False)]
+
+
+def test_golden_stream_hash():
+    """End-to-end ABI lock: a pinned movie encoded with seed=None emits a
+    byte stream whose hash is frozen - across backends too (the encoder's
+    value-carrying matmuls run at HIGHEST precision; this exact hash was
+    verified bit-identical on CPU and real TPU)."""
+    import hashlib
+
+    import numpy as np
+
+    from iivision_tpu import encoder
+    from iivision_tpu.ops import distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+    from iivision_tpu.video_mode import VideoMode
+
+    mode = VideoMode.DHGR
+    dist = distance.ComputedDistance(mode, Palette.NTSC)
+    rng = np.random.RandomState(123)
+    fmain = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    faux = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=1200, input_frame_rate=12.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes, bytes_ = encoder.prepare_targets(fmain, faux, mode)
+    ops, _, _ = encoder.encode_movie(dist, lanes, bytes_, plan, mode,
+                                     seed=None)
+    flat = encoder.flatten_ops(np.asarray(ops), plan)
+    levels = ((np.arange(plan.n_ops) % 32) - 15).astype(np.int32)
+    data = emit_stream_fast(flat, levels, mode)
+    assert len(data) == 10240
+    assert hashlib.sha256(data).hexdigest() == (
+        "57fdd52adf53d75101ed121d28d8a5389465c09f99d960ba6c47c20dbdb30fbc")
