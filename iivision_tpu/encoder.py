@@ -74,6 +74,8 @@ class MoviePlan:
     step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
     step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
     step_rebuild_cand: np.ndarray  # (S,) bool: first chunk of (frame, bank)
+    # (informational: the scan rebuilds its diff + cost slab at every
+    # step_recompute; rebuild_cand marks each (frame, bank)'s first chunk)
     step_nvalid: np.ndarray  # (S,) int32: number of real ops in this step
     op_tick_index: np.ndarray  # (n_ops,) int32: audio tick of each opcode
 

@@ -62,8 +62,8 @@ class Movie:
         self.k = k
         self.seed = seed
         self.two_pass = two_pass
-        # segment very long movies so candidate tables (~260KB/frame) and
-        # targets stay bounded in HBM; None = auto (chunk past 1024 frames)
+        # segment very long movies so device-resident targets stay bounded
+        # in HBM; None = auto (chunk past 1024 encoded frames)
         self.chunk_frames = chunk_frames
         self.timings = {}
 
