@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Obsolete (accepted, ignored): companions are "
                              "now ranked against the live diff every step, "
                              "which supersedes the two-pass re-ranking.")
+    parser.add_argument("--colour_model", type=str, default="window",
+                        choices=["window", "yiq"],
+                        help="Perceptual basis: 'window' = the reference's "
+                             "4-bit nominal colours; 'yiq' = NTSC composite "
+                             "demodulation (wider chroma low-pass).")
     parser.add_argument("--chunk_frames", type=int, default=None,
                         help="Encode in segments of this many frames "
                              "(bounded device memory for long movies; "
@@ -67,6 +72,7 @@ def main(args=None):
         seed=args.seed,
         two_pass=args.two_pass,
         chunk_frames=args.chunk_frames,
+        colour_model=args.colour_model,
     )
     print("Palette %s" % args.palette)
     print("Input frame rate = %f" % m.frames.input_frame_rate)

@@ -21,16 +21,18 @@ from iivision_tpu.stream.opcodes import Header
 from iivision_tpu.video_mode import VideoMode
 
 
-def get_distance(mode: VideoMode, palette: Palette):
+def get_distance(mode: VideoMode, palette: Palette,
+                 model: str = "window"):
     """Distance model for the encoder (store-cost slab, built in seconds).
 
     The reference-compatible full LUT npz artifacts remain available via
     ops/editdist (build_tables/save_tables) but the encoder does not need
     them - it computes distances on the fly (see ops/distance.py).
+    model='yiq' selects the NTSC-composite basis (ops/yiq.py).
     """
     from iivision_tpu.ops import distance
 
-    return distance.ComputedDistance(mode, palette)
+    return distance.ComputedDistance(mode, palette, model)
 
 
 class Movie:
@@ -52,6 +54,7 @@ class Movie:
             frame_rate: Optional[float] = None,
             two_pass: bool = False,  # obsolete, accepted + ignored
             chunk_frames: Optional[int] = None,
+            colour_model: str = "window",
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -97,7 +100,7 @@ class Movie:
 
         t0 = time.time()
         self.dist = dist if dist is not None else get_distance(
-            video_mode, palette)
+            video_mode, palette, colour_model)
         self.timings["tables_s"] = time.time() - t0
 
     def encode_ops(self):

@@ -82,8 +82,32 @@ def dist_pixel_pairs(pa, pb, sub16):
     return d_m1
 
 
+def dist_window_sums(wa, wb, subs):
+    """Per-position pair costs summed (YIQ model: no alignment DP).
+
+    wa, wb: (..., L) 7-bit window codes; subs: (L, 128, 128) costs.
+    """
+    xp = screen._xp(wa)
+    eye = xp.arange(128, dtype=wa.dtype)
+    oa = (wa[..., None] == eye).astype(subs.dtype)
+    ob = (wb[..., None] == eye).astype(subs.dtype)
+    d = xp.einsum("...ki,kij,...kj->...k", oa, subs, ob)
+    return d.sum(axis=-1)
+
+
 def dist_lane_pairs(va, vb, mode: VideoMode, lane: int, sub16):
-    """Distance between masked-lane value arrays (elementwise pairs)."""
+    """Distance between masked-lane value arrays (elementwise pairs).
+
+    The cost basis rides in `sub16`'s rank: (16, 16) selects the reference's
+    windowed-colour Damerau-Levenshtein; (n_lanes, L, 128, 128) selects the
+    NTSC-composite YIQ model (ops/yiq.py).  Everything downstream (encoder
+    scan, host oracle, quality metrics) is agnostic.
+    """
+    if getattr(sub16, "ndim", 2) == 4:
+        from iivision_tpu.ops import yiq
+        return dist_window_sums(yiq.lane_windows(va, mode, lane),
+                                yiq.lane_windows(vb, mode, lane),
+                                sub16[lane])
     return dist_pixel_pairs(lane_pixels(va, mode, lane),
                             lane_pixels(vb, mode, lane), sub16)
 
@@ -93,6 +117,17 @@ def sub16(palette: Palette) -> np.ndarray:
     return palettes.diff_matrix(palette).astype(np.float32)
 
 
+def sub_for(mode: VideoMode, palette: Palette,
+            model: str = "window") -> np.ndarray:
+    """Cost basis for `model`: 'window' (reference parity) or 'yiq'."""
+    if model == "yiq":
+        from iivision_tpu.ops import yiq
+        return yiq.lane_subs(mode, palette)
+    if model != "window":
+        raise ValueError("unknown colour model: %r" % (model,))
+    return sub16(palette)
+
+
 def n_contents(mode: VideoMode) -> int:
     """Distinct content bytes a store can carry: DHGR bytes are 7-bit
     (palette bit unused, reference video.py:135-137), HGR full 8-bit."""
@@ -100,7 +135,8 @@ def n_contents(mode: VideoMode) -> int:
 
 
 @functools.lru_cache(None)
-def store_cost_table(mode: VideoMode, palette: Palette):
+def store_cost_table(mode: VideoMode, palette: Palette,
+                     model: str = "window"):
     """(n_lanes, 2^B, n_contents) f32: cost of storing content c over a
     target whose lane window is t - D(masked_update(t, c), t).
 
@@ -115,7 +151,7 @@ def store_cost_table(mode: VideoMode, palette: Palette):
     spec = screen.spec_for_mode(mode)
     n = 1 << int(spec.MASKED_BITS)
     C = n_contents(mode)
-    sub = jnp.asarray(sub16(palette))
+    sub = jnp.asarray(sub_for(mode, palette, model))
     chunk = 256  # bound the one-hot transients to ~tens of MB
 
     @jax.jit
@@ -145,15 +181,19 @@ class ComputedDistance:
     """Distance provider for the encoder: store-cost slab + on-the-fly DP.
 
     Replaces the LUT tables; all members are small device arrays.
+    model: 'window' (reference-parity nominal colours) or 'yiq'
+    (NTSC-composite demodulation, ops/yiq.py).
     """
 
-    def __init__(self, mode: VideoMode, palette: Palette):
+    def __init__(self, mode: VideoMode, palette: Palette,
+                 model: str = "window"):
         self.mode = mode
         self.palette = palette
+        self.model = model
         self.spec = screen.spec_for_mode(mode)
-        self.store_cost = store_cost_table(mode, palette)  # (L, N, C) f32
+        self.store_cost = store_cost_table(mode, palette, model)
         import jax.numpy as jnp
-        self.sub = jnp.asarray(sub16(palette))
+        self.sub = jnp.asarray(sub_for(mode, palette, model))
         self.n_contents = n_contents(mode)
 
     def lane_diff(self, cur_lane_vals, tgt_lane_vals, lane: int):

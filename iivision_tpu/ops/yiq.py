@@ -1,0 +1,155 @@
+"""NTSC composite (YIQ) colour model - an alternative perceptual basis.
+
+The reference scores colours with a 4-bit sliding window mapped to 16
+nominal colours (reference transcoder/colours.py:100-134): every dot
+position shows exactly one of 16 palette entries.  A real NTSC decoder
+low-passes luma and quadrature-demodulates chroma over a wider support, so
+artifact boundaries BLEND between the nominal colours.  This module models
+that: each dot position is decoded from a 7-dot window (the widest support
+the screen model's 3-dot halos permit, screen.py masked-lane layout) with
+
+  Y = sum_k wY[k] * dot[k]                      (luma low-pass)
+  C = sum_k wC[k] * dot[k] * e^{-i pi/2 phase}  (chroma demodulation)
+
+and the chroma gain/rotation + luma affine calibrated by least squares so
+that solid 4-dot patterns reproduce the 16 reference NTSC palette colours
+(palettes.py) as closely as possible.  Distances between two decoded
+pixels are integer-truncated CIEDE2000, like the reference's matrix
+(reference make_data_tables.py:68-69).
+
+The model plugs into the encoder through the same `sub` argument as the
+window model: distance.dist_lane_pairs dispatches on the array's rank
+(16x16 -> window edit distance; (n_lanes, L, 128, 128) -> per-position YIQ
+sums).  Nothing else in the encoder, host oracle, or quality metrics
+changes.
+"""
+
+import functools
+
+import numpy as np
+
+from iivision_tpu import palettes, screen
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+WIN = 7  # dots per decoded pixel: 3-dot halos bound the usable support
+# luma low-pass (sharper) and chroma low-pass (wider), both unit-sum
+W_Y = np.array([0.0, 1.0, 2.0, 2.0, 2.0, 1.0, 0.0]) / 8.0
+W_C = np.sin(np.pi * (np.arange(WIN) + 1) / (WIN + 1)) ** 2
+W_C = W_C / W_C.sum()
+_COS = np.array([1.0, 0.0, -1.0, 0.0])
+_SIN = np.array([0.0, 1.0, 0.0, -1.0])
+# FCC NTSC YIQ -> RGB
+_YIQ_TO_RGB = np.array([[1.0, 0.956, 0.621],
+                        [1.0, -0.272, -0.647],
+                        [1.0, -1.106, 1.703]])
+_RGB_TO_YIQ = np.linalg.inv(_YIQ_TO_RGB)
+
+
+def _decode_raw(bits, centre_phase):
+    """bits: (..., 7) 0/1 dots at centre phase `centre_phase`.
+
+    Returns raw (Y, I, Q) before calibration; dot k of the window sits at
+    carrier phase (centre_phase + k - 3) mod 4.
+    """
+    ph = (centre_phase + np.arange(WIN) - 3) % 4
+    y = bits @ W_Y
+    i = bits @ (W_C * _COS[ph]) * 2.0
+    q = bits @ (W_C * _SIN[ph]) * 2.0
+    return y, i, q
+
+
+@functools.lru_cache(None)
+def _calibration(palette: Palette):
+    """Least-squares (luma affine, complex chroma gain) anchoring solid
+    4-dot patterns to the 16 reference palette colours."""
+    rgb = palettes.palette_rgb_array(palette).astype(np.float64) / 255.0
+    yiq_t = rgb @ _RGB_TO_YIQ.T  # (16, 3) target Y/I/Q
+
+    # solid pattern for code c: dot at absolute phase p is bit p of c
+    ys, cs = [], []
+    for code in range(16):
+        bits = np.array([(code >> ((0 + k - 3) % 4)) & 1
+                         for k in range(WIN)], np.float64)
+        y, i, q = _decode_raw(bits, 0)
+        ys.append(y)
+        cs.append(i + 1j * q)
+    ys = np.asarray(ys)
+    cs = np.asarray(cs)
+    ct = yiq_t[:, 1] + 1j * yiq_t[:, 2]
+
+    # luma: yt ~= a*y + b
+    A = np.stack([ys, np.ones(16)], axis=1)
+    (a, b), *_ = np.linalg.lstsq(A, yiq_t[:, 0], rcond=None)
+    # chroma: ct ~= g * c (solid patterns of distinct hue pin the rotation)
+    denom = float(np.sum(np.abs(cs) ** 2))
+    g = complex(np.sum(ct * np.conj(cs)) / denom) if denom > 0 else 0j
+    return float(a), float(b), g
+
+
+def decode_windows(codes, centre_phase: int, palette: Palette):
+    """7-bit window codes -> calibrated sRGB in [0, 255] (..., 3)."""
+    codes = np.asarray(codes)
+    bits = ((codes[..., None] >> np.arange(WIN)) & 1).astype(np.float64)
+    y, i, q = _decode_raw(bits, centre_phase)
+    a, b, g = _calibration(palette)
+    yy = a * y + b
+    c = g * (i + 1j * q)
+    yiq = np.stack([yy, c.real, c.imag], axis=-1)
+    rgb = np.clip(yiq @ _YIQ_TO_RGB.T, 0.0, 1.0)
+    return rgb * 255.0
+
+
+@functools.lru_cache(None)
+def pair_lut(palette: Palette) -> np.ndarray:
+    """(4, 128, 128) int32: CIEDE2000 between decoded 7-bit windows at each
+    centre phase (integer-truncated like the reference's matrix)."""
+    out = np.zeros((4, 128, 128), np.int32)
+    for p in range(4):
+        lab = palettes.srgb_to_lab(decode_windows(np.arange(128), p,
+                                                  palette))
+        d = palettes.delta_e_cie2000(lab[:, None, :], lab[None, :, :])
+        out[p] = d.astype(np.int32)
+    return out
+
+
+def total_dots(mode: VideoMode) -> int:
+    """Dots produced by spec.to_dots (window positions + trailing context)."""
+    return 13 if mode == VideoMode.DHGR else 21
+
+
+def n_pixels(mode: VideoMode) -> int:
+    """Centred 7-dot pixels that fit in a lane's dot sequence."""
+    return total_dots(mode) - 6
+
+
+@functools.lru_cache(None)
+def lane_subs(mode: VideoMode, palette: Palette) -> np.ndarray:
+    """(n_lanes, L, 128, 128) f32 per-position pair-cost matrices.
+
+    Pixel j (centre dot j+3 of the lane's dot sequence) sits at carrier
+    phase (PHASES[lane] + j + 3) mod 4 - the same absolute-phase convention
+    as the window model (distance.lane_pixels).
+    """
+    spec = screen.spec_for_mode(mode)
+    lut = pair_lut(palette)
+    L = n_pixels(mode)
+    subs = np.zeros((int(spec.N_LANES), L, 128, 128), np.float32)
+    for lane in range(int(spec.N_LANES)):
+        for j in range(L):
+            subs[lane, j] = lut[(spec.PHASES[lane] + j + 3) % 4]
+    return subs
+
+
+def lane_windows(vals, mode: VideoMode, lane: int):
+    """Masked lane values -> (..., L) 7-bit centred window codes.
+
+    Window j covers dots [j, j+6] (centre j+3); halos supply the 3 dots of
+    context on each side, so every non-halo dot is scored exactly once by
+    its own lane.
+    """
+    xp = screen._xp(vals)
+    spec = screen.spec_for_mode(mode)
+    dots = spec.to_dots(vals.astype(xp.int32), lane)
+    wins = [(dots >> j) & 0x7F for j in range(n_pixels(mode))]
+    return xp.stack(wins, axis=-1)

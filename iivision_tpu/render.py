@@ -43,9 +43,8 @@ def dhgr_screen_codes(main, aux):
     return nibbles.astype(np.int32)
 
 
-def hgr_screen_codes(main):
-    """HGR screen memory -> (..., 192, 140) colour codes (560-dot window
-    colours sampled at each pixel's first dot)."""
+def _hgr_row_dots(main):
+    """HGR screen memory -> (..., 192, 560) 0/1 dot stream per row."""
     main = np.asarray(main, dtype=np.int64)
     page = screen.X_Y_TO_PAGE.astype(np.int32)
     offset = screen.X_Y_TO_OFFSET.astype(np.int32)
@@ -68,7 +67,13 @@ def hgr_screen_codes(main):
                     pb == 0, plain | bit, plain)
                 dots[..., base + j + 1] = np.where(
                     pb == 1, shifted | bit, shifted)
-    dots = dots[..., :560]
+    return dots[..., :560]
+
+
+def hgr_screen_codes(main):
+    """HGR screen memory -> (..., 192, 140) colour codes (560-dot window
+    colours sampled at each pixel's first dot)."""
+    dots = _hgr_row_dots(main)
     # sliding 4-bit window colour at each dot, phase = dot % 4
     padded = np.concatenate(
         [dots, np.zeros(dots.shape[:-1] + (3,), np.int64)], axis=-1)
@@ -90,6 +95,31 @@ def screen_to_rgb(main, aux, mode: VideoMode, palette: Palette):
         codes = hgr_screen_codes(main)
     rgb = palettes.palette_rgb_array(palette)
     return rgb[codes]
+
+
+def _row_bits(main, aux, mode: VideoMode):
+    """Screen memory -> (..., 192, 560) 0/1 dot stream per row."""
+    if mode == VideoMode.DHGR:
+        groups = _row_dots_dhgr(np.asarray(main, np.int64),
+                                np.asarray(aux, np.int64))
+        bits = ((groups[..., :, None] >> np.arange(7)) & 1)
+        return bits.reshape(bits.shape[:-2] + (560,))
+    return _hgr_row_dots(main)
+
+
+def screen_to_rgb_yiq(main, aux, mode: VideoMode, palette: Palette):
+    """NTSC-composite render: demodulate each row's 560-dot stream with the
+    calibrated YIQ decoder (ops/yiq.py) and average down to 140 px."""
+    from iivision_tpu.ops import yiq
+
+    bits = _row_bits(main, aux, mode).astype(np.int64)
+    z = np.zeros(bits.shape[:-1] + (3,), np.int64)
+    padded = np.concatenate([z, bits, z], axis=-1)  # (..., 566)
+    codes = sum((padded[..., k:k + 560] << k) for k in range(yiq.WIN))
+    out = np.zeros(codes.shape + (3,), np.float64)
+    for p in range(4):  # dot d sits at carrier phase d % 4
+        out[..., p::4, :] = yiq.decode_windows(codes[..., p::4], p, palette)
+    return out.reshape(out.shape[:-2] + (140, 4, 3)).mean(axis=-2)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
