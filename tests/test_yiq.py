@@ -11,6 +11,9 @@ from iivision_tpu.palettes import Palette
 from iivision_tpu.video_mode import VideoMode
 
 
+import pytest
+
+
 @functools.lru_cache(None)
 def get_dist(mode):
     return distance.ComputedDistance(mode, Palette.NTSC, model="yiq")
@@ -53,14 +56,16 @@ def test_zero_self_distance_and_blend_smoothness():
         assert (d == 0).all()
 
 
-def test_host_vs_scan_differential_yiq():
+@pytest.mark.parametrize("mode", [VideoMode.DHGR, VideoMode.HGR])
+def test_host_vs_scan_differential_yiq(mode):
     """The scalar host oracle and the XLA scan agree bit-for-bit under the
     YIQ basis (zero nonces), including final screen state."""
-    mode = VideoMode.DHGR
     dist = get_dist(mode)
     rng = np.random.RandomState(21)
-    fmain = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
-    faux = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    hi = 0x80 if mode == VideoMode.DHGR else 0x100
+    fmain = rng.randint(0, hi, size=(2, 32, 256)).astype(np.uint8)
+    faux = (rng.randint(0, hi, size=(2, 32, 256)).astype(np.uint8)
+            if mode == VideoMode.DHGR else None)
     plan, _ = encoder.plan_movie(
         n_frames=2, n_audio_ticks=700, input_frame_rate=2100.0 / 700 * 2,
         ticks_per_second=2100.0 * 2 / 700 * 350,
