@@ -478,6 +478,9 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     import jax.numpy as jnp
 
     del two_pass  # obsolete: live companion ranking is always on
+    if chunk_frames <= 0:
+        raise ValueError("chunk_frames must be positive, got %r"
+                         % (chunk_frames,))
     from iivision_tpu.ops import distance as dist_mod
     frames_main = np.asarray(frames_main)
     n_banks = 2 if mode == VideoMode.DHGR else 1

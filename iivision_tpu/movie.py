@@ -120,6 +120,9 @@ class Movie:
         tgt_aux = (None if self.frames.targets_aux is None
                    else self.frames.targets_aux[:max(n_enc, 1)])
         chunk = self.chunk_frames
+        if chunk is not None and chunk <= 0:
+            raise ValueError("chunk_frames must be positive, got %r"
+                             % (chunk,))
         if chunk is None and n_enc > 1024:
             chunk = 512  # auto-segment long movies
         self.timings["plan_s"] = time.time() - t0

@@ -152,7 +152,9 @@ def store_cost_table(mode: VideoMode, palette: Palette,
     n = 1 << int(spec.MASKED_BITS)
     C = n_contents(mode)
     sub = jnp.asarray(sub_for(mode, palette, model))
-    chunk = 256  # bound the one-hot transients to ~tens of MB
+    # bound the one-hot transients to ~tens of MB: (chunk, C, L, width) f32
+    # per operand, where width is 16 (window model) or 128 (yiq)
+    chunk = 256 if model == "window" else 32
 
     @jax.jit
     def build():

@@ -105,12 +105,14 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
     movies: list of (targets_main (F_i,32,256) u8, targets_aux or None,
     n_input_frames_i, n_audio_ticks_i) sharing the frame rate, tick rate,
     every_n and k.  Such movies have identical opcode schedules up to
-    length, so all encode under the longest movie's plan with video targets
-    padded by repeating each movie's last frame; movie i's opcode stream is
-    the first n_ops_i flattened ops (the scan is causal, so the padded tail
-    cannot affect them).  Semantically movie i encodes exactly as if its
-    audio were extended to the longest movie's length while its video holds
-    the last frame - bit-identical to that padded solo encode.
+    length, so all encode under one shared plan built from (max frames,
+    max ticks) - dominating every movie in both ops and encoded frames -
+    with video targets padded by repeating each movie's last frame; movie
+    i's opcode stream is the first n_ops_i flattened ops (the scan is
+    causal, so the padded tail cannot affect them).  Semantically movie i
+    encodes exactly as if its audio were extended to the shared schedule's
+    length while its video holds the last frame - bit-identical to that
+    padded solo encode.
 
     Returns (flat_ops: list of (n_ops_i, 6) arrays, plan_max: MoviePlan,
     n_ops: list of int).
@@ -121,8 +123,17 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
         every_n_video_frames=every_n_video_frames, mode=mode, k=k)
         for _, _, nf, nt in movies]
     n_ops = [p.n_ops for p, _ in plans]
-    i_max = int(np.argmax(n_ops))
-    plan_max, n_enc_max = plans[i_max]
+    # the shared plan must dominate every movie in BOTH ops and frames: the
+    # max-ops movie can have fewer encoded frames than another movie (long
+    # audio, short video), which would truncate that movie's real frames
+    plan_max, n_enc_max = encoder.plan_movie(
+        n_frames=max(nf for _, _, nf, _ in movies),
+        n_audio_ticks=max(nt for _, _, _, nt in movies),
+        input_frame_rate=input_frame_rate,
+        ticks_per_second=ticks_per_second,
+        every_n_video_frames=every_n_video_frames, mode=mode, k=k)
+    assert plan_max.n_ops >= max(n_ops)
+    assert all(n_enc_max >= ne for _, ne in plans)
 
     def pad_targets(t):
         t = np.asarray(t)
@@ -160,15 +171,20 @@ def fetch_ops(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
     (..., S, K, 6) tensor, which is flattened on device first - the tiled
     minor-dim layout transfers ~1.6x slower than dense over thin host links.
     """
-    import jax
-
     if ops_dev.ndim >= 3 and ops_dev.shape[-1] == encoder.OP_FIELDS:
         shape = ops_dev.shape
-        flat = np.asarray(jax.jit(lambda o: o.reshape(-1))(ops_dev))
+        flat = np.asarray(_jitted_flatten()(ops_dev))
         return flat.reshape(shape)
     flat = np.asarray(ops_dev)  # (B, S*K*6) from encode_movies_batch
     s = flat.shape[-1] // (plan.k * encoder.OP_FIELDS)
     return flat.reshape(flat.shape[:-1] + (s, plan.k, encoder.OP_FIELDS))
+
+
+@functools.lru_cache(None)
+def _jitted_flatten():
+    import jax
+
+    return jax.jit(lambda o: o.reshape(-1))
 
 
 def build_tables_sharded(mode: VideoMode, palette, mesh,

@@ -30,12 +30,8 @@ def _row_dots_dhgr(main, aux):
 
 def dhgr_screen_codes(main, aux):
     """Screen memory -> (..., 192, 140) colour codes."""
-    groups = _row_dots_dhgr(np.asarray(main, dtype=np.int64),
-                            np.asarray(aux, dtype=np.int64))
-    # build the 560-bit row stream as 140 nibbles: dot d = bit (d%7) of
-    # group d//7; pixel x = dots 4x..4x+3
-    bits = ((groups[..., :, None] >> np.arange(7)) & 1)  # (...,192,80,7)
-    bits = bits.reshape(bits.shape[:-2] + (560,))
+    # 560-bit row stream as 140 nibbles: pixel x = dots 4x..4x+3
+    bits = _row_bits(main, aux, VideoMode.DHGR)
     nibbles = (bits[..., 0::4]
                + (bits[..., 1::4] << 1)
                + (bits[..., 2::4] << 2)

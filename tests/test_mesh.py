@@ -62,6 +62,37 @@ def test_mixed_length_batch_matches_padded_solo():
         assert np.array_equal(flats[i], flat_solo), "movie %d diverged" % i
 
 
+def test_mixed_batch_keeps_short_audio_movies_frames():
+    """Regression: the shared plan must dominate every movie in encoded
+    FRAMES too, not just ops - a long-audio/short-video movie must not
+    truncate another movie's real frames (fps=1, tps=350: movie A has
+    n_ops=699 but 1 encoded frame; movie B has 500 ops over 2 frames)."""
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    a_main, a_aux = random_targets(1, seed=70)
+    b_main, b_aux = random_targets(4, seed=71)
+    movies = [(a_main, a_aux, 1, 1398), (b_main, b_aux, 4, 500)]
+    flats, plan_max, n_ops = pmesh.encode_movies_mixed(
+        dist, movies, mode, input_frame_rate=1.0, ticks_per_second=350.0,
+        every_n_video_frames=1, k=8)
+    assert n_ops == [699, 500]
+    n_enc_max = int(plan_max.step_frame.max()) + 1
+    assert n_enc_max >= 2  # movie B's frame 1 must be schedulable
+    # movie B's ops in its frame-1 window target frame 1's content: its
+    # stream must match a solo encode of B padded to the shared schedule
+    pm = np.concatenate(
+        [b_main, np.repeat(b_main[-1:], n_enc_max - 4, axis=0)]) \
+        if n_enc_max > 4 else b_main[:n_enc_max]
+    pa = np.concatenate(
+        [b_aux, np.repeat(b_aux[-1:], n_enc_max - 4, axis=0)]) \
+        if n_enc_max > 4 else b_aux[:n_enc_max]
+    lanes, bytes_ = encoder.prepare_targets(pm, pa, mode)
+    ops_solo, _, _ = encoder.encode_movie(
+        dist, lanes, bytes_, plan_max, mode, seed=1)
+    flat_solo = encoder.flatten_ops(np.asarray(ops_solo), plan_max)[:500]
+    assert np.array_equal(flats[1], flat_solo)
+
+
 def test_mixed_length_streams_are_valid():
     """Mixed-batch ops emit VM-decodable streams at each movie's true
     length."""

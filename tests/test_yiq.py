@@ -45,8 +45,10 @@ def test_pair_lut_invariants():
 
 
 def test_zero_self_distance_and_blend_smoothness():
-    """D(x, x) = 0, and a single-dot flip costs less under YIQ than under
-    the nominal-colour model's sharp window (blending)."""
+    """D(x, x) = 0; and the composite model blends: a single flipped dot
+    spreads over the full 7-dot chroma support with per-pixel costs well
+    below a solid colour swap (the nominal model snaps 4 pixels to entirely
+    different palette entries)."""
     pal = Palette.NTSC
     sub = distance.sub_for(VideoMode.DHGR, pal, "yiq").astype(np.float64)
     v = np.arange(512)
@@ -54,6 +56,20 @@ def test_zero_self_distance_and_blend_smoothness():
         d = np.asarray(distance.dist_lane_pairs(
             v, v, VideoMode.DHGR, lane, sub))
         assert (d == 0).all()
+
+    # single-dot flip in the middle of a solid field
+    a = np.array([0])
+    b = np.array([1 << 6])  # centre content dot of the 13-dot window
+    wa = yiq.lane_windows(a, VideoMode.DHGR, 0)[0]
+    wb = yiq.lane_windows(b, VideoMode.DHGR, 0)[0]
+    per_pix = np.asarray([
+        float(sub[0, j, wa[j], wb[j]]) for j in range(len(wa))])
+    affected = np.flatnonzero(per_pix)
+    assert affected.size == 7, per_pix  # full 7-dot support reacts
+    # each blended pixel costs a fraction of a hard black<->white swap
+    lut = yiq.pair_lut(pal)
+    full_swap = lut[0, 0, 127]
+    assert per_pix.max() < 0.8 * full_swap, (per_pix, full_swap)
 
 
 @pytest.mark.parametrize("mode", [VideoMode.DHGR, VideoMode.HGR])
