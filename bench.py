@@ -1,9 +1,21 @@
 """Headline benchmark: DHGR video+audio transcode throughput per chip.
 
-Synthesizes a 10-second 30fps clip + 440Hz audio tone, transcodes it with the
-full pipeline (quantize -> tables -> plan -> whole-movie encode scan -> framed
-byte stream), validates the emitted stream with the native player VM, and
-reports realtime-multiple throughput.
+Measures the FULL pipeline per movie - source frames at 280x192 (the
+reference's own PIL resize target, frame_grabber.py:75) -> device Lanczos
+resize -> ordered-dither quantize -> screen packing -> lane derivation ->
+audio level quantization -> whole-movie encode scan -> ops transfer ->
+framed byte stream - and validates emitted streams with the native player
+VM.
+
+Two measurements:
+- single-movie end-to-end via the Movie class (host decode path, pipelined
+  ingestion with host matmul resize);
+- batched per-chip throughput: B movies' source frames device-resident
+  (production deployments feed frames over local PCIe at GB/s; this
+  harness's host link is a ~20MB/s tunnel, so sources are synthesized on
+  device to keep the measurement about the chip, with the host link's
+  contribution reported separately), full ingest+encode on device, byte
+  emission on host overlapped with the next batch.
 
 Prints ONE JSON line:
   {"metric": "dhgr_transcode_realtime_x", "value": N, "unit": "x_realtime",
@@ -21,23 +33,51 @@ import numpy as np
 BASELINE_REALTIME_X = 0.2  # reference: 5-10x slower than realtime (best case)
 CLIP_SECONDS = 10.0
 FPS = 30
+SRC_H, SRC_W = 192, 280  # reference PIL resize target (frame_grabber.py:75)
 
 
-def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=140, h=192):
+def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=SRC_W, h=SRC_H, phase=0.0):
     F = int(seconds * fps)
     t = np.linspace(0, 1, F, dtype=np.float32)[:, None, None]
     yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None]
     xx = np.linspace(0, 1, w, dtype=np.float32)[None, None, :]
     shape = (F, h, w)
-    r = np.broadcast_to(127.5 + 127.5 * np.sin(7 * (xx + 2 * t)), shape)
-    g = np.broadcast_to(255 * np.abs(np.sin(3 * (yy + t))), shape)
-    b = np.broadcast_to(127.5 + 127.5 * np.cos(5 * (xx + yy + t)), shape)
+    r = np.broadcast_to(127.5 + 127.5 * np.sin(7 * (xx + 2 * t) + phase),
+                        shape)
+    g = np.broadcast_to(255 * np.abs(np.sin(3 * (yy + t) + phase)), shape)
+    b = np.broadcast_to(127.5 + 127.5 * np.cos(5 * (xx + yy + t) + phase),
+                        shape)
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def synth_movies_device(B, F, seed, h=SRC_H, w=SRC_W):
+    """(B, F, h, w, 3) uint8 source frames, synthesized on device.
+
+    Stands in for the host->device frame feed: per-movie and per-seed phase
+    offsets make every batch distinct (the remote service dedupes identical
+    dispatches).  jit-cached by shape; seed is a traced scalar.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(seed_):
+        t = jnp.linspace(0, 1, F, dtype=jnp.float32)[None, :, None, None]
+        yy = jnp.linspace(0, 1, h, dtype=jnp.float32)[None, None, :, None]
+        xx = jnp.linspace(0, 1, w, dtype=jnp.float32)[None, None, None, :]
+        ph = (seed_ * 0.013
+              + jnp.arange(B, dtype=jnp.float32)[:, None, None, None] * 0.37)
+        r = 127.5 + 127.5 * jnp.sin(7 * (xx + 2 * t) + ph)
+        g = 255 * jnp.abs(jnp.sin(3 * (yy + t) + ph))
+        b = 127.5 + 127.5 * jnp.cos(5 * (xx + yy + t) + ph)
+        return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
+
+    return gen(jnp.float32(seed))
 
 
 def main():
     from iivision_tpu import audio as audio_mod
-    from iivision_tpu.movie import Movie
+    from iivision_tpu.movie import Movie, get_distance
     from iivision_tpu.ops import editdist
     from iivision_tpu.palettes import Palette
     from iivision_tpu.sim import PlayerVM
@@ -49,7 +89,6 @@ def main():
     log("backend:", jax.default_backend(), jax.devices())
 
     # --- distance model + LUT-artifact generation timing (north star #2) ---
-    from iivision_tpu.movie import get_distance
     t0 = time.time()
     dist = get_distance(VideoMode.DHGR, Palette.NTSC)
     dist.store_cost.block_until_ready()
@@ -62,14 +101,14 @@ def main():
     del tables
     log("DHGR LUT artifact gen (cold, incl compile): %.1fs" % tablegen_cold)
 
-    # --- clip synthesis ------------------------------------------------------
+    # --- single-movie end-to-end (host decode path) -------------------------
     rgb = synth_clip()
     n = int(CLIP_SECONDS * 14700)
     tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700) * 16000)
 
-    def build_movie():
+    def build_movie(phase=0.0):
         return Movie(
-            frames_source=rgb,
+            frames_source=synth_clip(phase=phase) if phase else rgb,
             audio_source=audio_mod.Audio(
                 data=tone.astype(np.float32), rate=14700, bitrate=14700),
             every_n_video_frames=2,
@@ -79,95 +118,97 @@ def main():
             dist=dist,
         )
 
-    # warm-up run: compiles the quantizer + encode scan for these shapes
     log("warm-up transcode (compiling)...")
     m = build_movie()
     m.transcode("/tmp/bench_warm.a2m")
     log("warm-up timings:", {k: round(v, 2) if isinstance(v, float) else v
-                             for k, v in m.timings.items()})
+                            for k, v in m.timings.items()})
 
-    # measured run (compile cache hot)
     t0 = time.time()
-    m = build_movie()
+    m = build_movie(phase=1.0)  # distinct inputs defeat dispatch dedup
     stats = m.transcode("/tmp/bench.a2m")
     wall = time.time() - t0
     realtime_x = stats["movie_seconds"] / wall
 
-    # validate the emitted stream end-to-end
     res = PlayerVM().decode(open("/tmp/bench.a2m", "rb").read())
     assert res.ok, (res.error, res.error_pos)
     assert res.n_ops == stats["n_ops"]
     log("stream validated: %d ops, %d acks, %.2fs playback"
         % (res.n_ops, res.n_acks, res.playback_seconds))
     log("measured timings:", {k: round(v, 3) if isinstance(v, float) else v
-                              for k, v in stats.items()})
-    log("single-movie realtime_x = %.2f" % realtime_x)
+                             for k, v in stats.items()})
+    log("single-movie realtime_x = %.2f (source %dx%d, resize+quantize+audio"
+        " included)" % (realtime_x, SRC_W, SRC_H))
     log("tablegen_cold_s=%.1f" % tablegen_cold)
 
-    # --- batched per-chip throughput (movies are independent; vmap) --------
+    # --- batched per-chip throughput (full pipeline on device) --------------
     from iivision_tpu import encoder
     from iivision_tpu.parallel import mesh as pmesh
     from iivision_tpu.stream.emit_fast import emit_stream_fast
 
     import jax.numpy as jnp
     B = 32
-    lanes_tgt, bytes_tgt = encoder.prepare_targets(
-        m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
-    # device-resident batch (a production pipeline quantizes on device and
-    # never round-trips targets through the host)
-    lanes_b = jnp.broadcast_to(lanes_tgt, (B,) + lanes_tgt.shape)
-    bytes_b = jnp.broadcast_to(bytes_tgt, (B,) + bytes_tgt.shape)
-    levels = np.asarray(m.audio.levels())[:m.plan.n_ops]
+    F_enc = len(m.frames.targets_main)
+    plan = m.plan
+    levels_np = np.asarray(m.audio.levels())[:plan.n_ops]
+    tone_dev = jnp.asarray(tone.astype(np.float32))
 
-    def run_batch(seed0):
-        # distinct seeds per invocation: the remote service dedupes
-        # identical repeated dispatches (CLAUDE.md)
+    @jax.jit
+    def audio_levels_device(x, norm):
+        lv = jnp.trunc(x / 16384.0 * norm * 16).astype(jnp.int32)
+        return jnp.clip(lv, -15, 16)
+
+    def run_pipeline(seed):
+        """One batch: synth -> device ingest -> encode -> fetch; returns
+        (device ops handle, levels) without forcing - caller overlaps."""
+        src = synth_movies_device(B, F_enc, seed)  # "decode": device feed
+        lanes_b, bytes_b = pmesh.ingest_movies_batch(
+            src, VideoMode.DHGR, Palette.NTSC)
+        levels = audio_levels_device(tone_dev, m.audio.normalization)
         ops_b, _, _ = pmesh.encode_movies_batch(
-            dist, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
-            seeds=np.arange(seed0, seed0 + B))
-        ops_b = pmesh.fetch_ops(ops_b, m.plan)
-        streams = []
-        for i in range(B):
-            flat = encoder.flatten_ops(ops_b[i], m.plan)
-            streams.append(emit_stream_fast(flat, levels, VideoMode.DHGR))
-        return streams
+            dist, lanes_b, bytes_b, plan, VideoMode.DHGR,
+            seeds=np.arange(seed, seed + B))
+        return ops_b, levels
 
-    log("batched warm-up (compiling vmapped scan)...")
-    streams = run_batch(0)  # compile
+    def emit_all(ops_np, levels):
+        return [emit_stream_fast(encoder.flatten_ops(ops_np[i], plan),
+                                 levels, VideoMode.DHGR) for i in range(B)]
+
+    log("batched warm-up (compiling ingest + vmapped scan)...")
+    ops_b, levels_dev = run_pipeline(0)
+    levels_host = np.asarray(levels_dev)[:plan.n_ops]
+    # device f32 trunc can differ from the host f64 path only at exact
+    # integer boundaries; anything more than a stray LSB is a bug
+    assert (levels_host != levels_np).mean() < 1e-3
+    streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+    res_b = PlayerVM().decode(streams[-1])
+    assert res_b.ok, res_b.error
+
     t0 = time.time()
-    streams = run_batch(100)
+    ops_b, levels_dev = run_pipeline(1000)
+    streams = emit_all(pmesh.fetch_ops(ops_b, plan),
+                       np.asarray(levels_dev)[:plan.n_ops])
     batch_wall = time.time() - t0
     batch_x = B * stats["movie_seconds"] / batch_wall
-    log("batched B=%d: %.2fs wall -> %.1fx realtime aggregate"
+    log("batched B=%d (ingest+encode+emit): %.2fs wall -> %.1fx realtime"
         % (B, batch_wall, batch_x))
     res_b = PlayerVM().decode(streams[-1])
     assert res_b.ok, res_b.error
 
-    # steady-state pipelined throughput: device encodes batch i+1 while the
-    # host emits batch i's byte streams (async dispatch overlaps them)
-    def encode_async(seed0):
-        return pmesh.encode_movies_batch(
-            dist, lanes_b, bytes_b, m.plan, VideoMode.DHGR,
-            seeds=np.arange(seed0, seed0 + B))[0]
-
-    def emit_all(ops_np):
-        return [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
-                                 levels, VideoMode.DHGR) for i in range(B)]
-
-    # repeat the measurement: the remote-TPU tunnel's throughput swings
-    # +/-40% between runs, so take the best of a few (all seeds distinct
-    # from every earlier dispatch to defeat dispatch dedup)
+    # steady-state: device computes batch r+1 while the host transfers+emits
+    # batch r (async dispatch overlaps them)
     R = 4
     pipe_x = 0.0
     for rep in range(3):
         t0 = time.time()
-        pending = encode_async(5000 + 1000 * rep)  # two batches in flight:
-        for r in range(1, R):  # while batch r computes, r-1 transfers+emits
-            nxt = encode_async(5000 + 1000 * rep + r * B)
-            ops_np = pmesh.fetch_ops(pending, m.plan)
-            streams = emit_all(ops_np)
-            pending = nxt
-        streams = emit_all(pmesh.fetch_ops(pending, m.plan))
+        pending, lv = run_pipeline(5000 + 1000 * rep)
+        for r in range(1, R):
+            nxt, lv2 = run_pipeline(5000 + 1000 * rep + r * B)
+            streams = emit_all(pmesh.fetch_ops(pending, plan),
+                               np.asarray(lv)[:plan.n_ops])
+            pending, lv = nxt, lv2
+        streams = emit_all(pmesh.fetch_ops(pending, plan),
+                           np.asarray(lv)[:plan.n_ops])
         pipe_wall = time.time() - t0
         rep_x = R * B * stats["movie_seconds"] / pipe_wall
         log("pipelined %dx B=%d rep %d: %.2fs wall -> %.1fx realtime"

@@ -1,0 +1,318 @@
+"""Head-to-head fidelity A/B: our TPU encoder vs the reference greedy encoder.
+
+Runs the ACTUAL reference encoder (/root/reference/transcoder/video.py:95-251
++ screen.py:343-547, numpy+heapq) against this repo's encoder on the same
+quantized target frames, the same tick/bank schedule, and the same opcode
+budget, then scores both streams with the same replayed perceptual metric
+(quality.replay_frame_errors) and PSNR.  This tests the BASELINE parity
+clause directly: fidelity >= reference at equal op budget.
+
+The reference needs only numpy + heapq at encode time; its colormath /
+skvideo imports are satisfied with minimal shims, and it reads edit-distance
+npz tables that ops/editdist.py generates in its exact on-disk layout
+(drop-in replacement for the reference's 90-minute make_data_tables run).
+
+Usage: python bench_ab_reference.py [--mode DHGR] [--seconds 2.0] [--k 8]
+Writes AB_REPORT.md and prints one JSON summary line.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+REF_TRANSCODER = "/root/reference/transcoder"
+
+
+# --- import shims -------------------------------------------------------------
+
+def _install_shims():
+    """Stub the reference's unused-at-encode-time imports.
+
+    colormath: palette.py only constructs sRGBColor value holders at import
+    (conversions happen in make_data_tables, which we replace).
+    skvideo: frame_grabber.py imports it at module level; we drive the
+    encoder with a stub grabber, never touching file decode.
+    """
+    # the reference targets numpy 1.x (requirements.txt pins 1.22); restore
+    # the aliases numpy 2 removed so its modules import unmodified
+    for name, val in [("bool8", np.bool_), ("int", int), ("float", float),
+                      ("object", object), ("str", str)]:
+        if not hasattr(np, name):
+            setattr(np, name, val)
+    if "colormath" not in sys.modules:
+        colormath = types.ModuleType("colormath")
+        co = types.ModuleType("colormath.color_objects")
+
+        class sRGBColor:
+            def __init__(self, r, g, b, is_upscaled=False):
+                self.rgb_r, self.rgb_g, self.rgb_b = r, g, b
+                self.is_upscaled = is_upscaled
+
+            def get_upscaled_value_tuple(self):
+                return (self.rgb_r, self.rgb_g, self.rgb_b)
+
+        co.sRGBColor = sRGBColor
+        colormath.color_objects = co
+        sys.modules["colormath"] = colormath
+        sys.modules["colormath.color_objects"] = co
+    if "skvideo" not in sys.modules:
+        skvideo = types.ModuleType("skvideo")
+        skio = types.ModuleType("skvideo.io")
+        skvideo.io = skio
+        sys.modules["skvideo"] = skvideo
+        sys.modules["skvideo.io"] = skio
+
+
+def _import_reference(workdir):
+    """Import the reference transcoder with cwd-relative data in workdir."""
+    _install_shims()
+    os.chdir(workdir)  # reference loads transcoder/data/*, player/*.dbg
+    if REF_TRANSCODER not in sys.path:
+        sys.path.insert(0, REF_TRANSCODER)
+    import screen as ref_screen  # noqa
+    import video as ref_video  # noqa
+    import frame_grabber as ref_fg  # noqa
+    from palette import Palette as RefPalette  # noqa
+    from video_mode import VideoMode as RefVideoMode  # noqa
+    return types.SimpleNamespace(
+        screen=ref_screen, video=ref_video, frame_grabber=ref_fg,
+        Palette=RefPalette, VideoMode=RefVideoMode)
+
+
+def _prepare_workdir(workdir, mode, palette):
+    """Lay out transcoder/data/*.npz + player/iivision.dbg for the reference."""
+    from iivision_tpu.ops import editdist
+
+    data_dir = os.path.join(workdir, "transcoder", "data")
+    player_dir = os.path.join(workdir, "player")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(player_dir, exist_ok=True)
+    shutil.copy(os.path.join(REPO, "iivision_tpu", "data", "iivision.dbg"),
+                os.path.join(player_dir, "iivision.dbg"))
+    path = editdist.table_path(mode, palette, data_dir)
+    if not os.path.exists(path):
+        t0 = time.time()
+        tables = editdist.build_tables(mode, palette)
+        print("tables built in %.1fs" % (time.time() - t0), file=sys.stderr)
+        t0 = time.time()
+        editdist.save_tables(tables, mode, palette, data_dir)
+        print("tables saved in %.1fs -> %s" % (time.time() - t0, path),
+              file=sys.stderr)
+    return data_dir
+
+
+# --- the reference movie loop -------------------------------------------------
+
+def reference_encode(ref, targets_main, targets_aux, plan, mode, palette,
+                     every_n, input_frame_rate, ticks_per_second,
+                     n_frames_total, seed=0):
+    """Drive the reference Video encoder through the movie loop.
+
+    Mirrors reference movie.py:56-111 exactly (tick clock, frame pulls,
+    bank flips at 2KB ACK boundaries) with the bank schedule taken from our
+    plan - which is derived from the same framing arithmetic the reference's
+    emit_stream uses.  Returns (n_ops, 6) flat ops [page, content, o0..o3].
+    """
+    import random
+    random.seed(seed)
+    np.random.seed(seed)
+
+    ref_mode = (ref.VideoMode.DHGR if mode.name == "DHGR"
+                else ref.VideoMode.HGR)
+    ref_pal = (ref.Palette.NTSC if palette.name == "NTSC"
+               else ref.Palette.IIGS)
+
+    grabber = ref.frame_grabber.FrameGrabber(ref_mode)
+    grabber.input_frame_rate = input_frame_rate
+    video = ref.video.Video(grabber, ticks_per_second=ticks_per_second,
+                            mode=ref_mode, palette=ref_pal)
+
+    def frame_tuples():
+        # the reference movie loop pulls EVERY input frame and encodes every
+        # Nth (movie.py:72-80); skipped pulls are discarded unread, so they
+        # reuse the previous maps
+        main = aux = None
+        for pull in range(n_frames_total):
+            if pull % every_n == 0 or main is None:
+                f = min(pull // every_n, targets_main.shape[0] - 1)
+                main = ref.screen.MemoryMap(
+                    screen_page=1, page_offset=targets_main[f].copy())
+                aux = None
+                if targets_aux is not None:
+                    aux = ref.screen.MemoryMap(
+                        screen_page=1, page_offset=targets_aux[f].copy())
+            yield main, aux
+
+    frames_iter = frame_tuples()
+    op_bank = np.repeat(plan.step_bank, plan.step_nvalid)
+    n_ops = plan.n_ops
+
+    ops_out = np.zeros((n_ops, 6), np.int32)
+    op_seq = None
+    target_pixelmap = None
+    aux_bank = False
+    i = 0
+    for tick in range(1, n_ops + 1):
+        if video.tick(tick):
+            try:
+                main, aux = next(frames_iter)
+            except StopIteration:
+                break
+            should_encode = ((video.frame_number - 1) % every_n == 0)
+            if should_encode:
+                if ref_mode == ref.VideoMode.DHGR:
+                    target_pixelmap = ref.screen.DHGRBitmap(
+                        main_memory=main, aux_memory=aux, palette=ref_pal)
+                else:
+                    target_pixelmap = ref.screen.HGRBitmap(
+                        main_memory=main, palette=ref_pal)
+                op_seq = video.encode_frame(target_pixelmap, is_aux=aux_bank)
+                video.out_of_work = {True: False, False: False}
+        bank = bool(op_bank[i])
+        if bank != aux_bank:
+            aux_bank = bank
+            op_seq = video.encode_frame(target_pixelmap, is_aux=aux_bank)
+        page, content, offsets = next(op_seq)
+        ops_out[i, 0] = page
+        ops_out[i, 1] = content
+        ops_out[i, 2:6] = offsets
+        i += 1
+    return ops_out[:i]
+
+
+# --- the A/B ------------------------------------------------------------------
+
+def synth_clip(seconds, fps=30, w=140, h=192):
+    """A clip with structure: moving bars + gradients + a bouncing block."""
+    F = max(int(seconds * fps), 1)
+    t = np.linspace(0, 1, F, dtype=np.float32)[:, None, None]
+    yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None]
+    xx = np.linspace(0, 1, w, dtype=np.float32)[None, None, :]
+    shape = (F, h, w)
+    r = np.broadcast_to(127.5 + 127.5 * np.sin(9 * (xx + 2 * t)), shape)
+    g = np.broadcast_to(255 * np.abs(np.sin(4 * (yy + t))), shape)
+    b = np.broadcast_to(127.5 + 127.5 * np.cos(6 * (xx + yy + 3 * t)), shape)
+    rgb = np.stack([r, g, b], axis=-1)
+    # bouncing bright block (hard edges stress the encoder)
+    for f in range(F):
+        cy = int((h - 40) * 0.5 * (1 + np.sin(2 * np.pi * f / max(F, 2))))
+        cx = int((w - 30) * 0.5 * (1 + np.cos(2 * np.pi * f / max(F, 2))))
+        rgb[f, cy:cy + 40, cx:cx + 30] = (255, 255, 255)
+    return rgb.astype(np.uint8)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="DHGR", choices=["DHGR", "HGR"])
+    ap.add_argument("--seconds", type=float, default=2.0)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--every_n", type=int, default=2)
+    ap.add_argument("--workdir", default="/tmp/iiv_ab")
+    ap.add_argument("--report", default=os.path.join(REPO, "AB_REPORT.md"))
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, REPO)
+    from iivision_tpu import encoder, frames, quality
+    from iivision_tpu.movie import get_distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.video_mode import VideoMode
+
+    mode = VideoMode[args.mode]
+    palette = Palette.NTSC
+    fps, tps = 30.0, 14700.0
+
+    # shared targets: one quantization, both encoders
+    rgb = synth_clip(args.seconds, fps=int(fps))
+    mf = frames.ingest(rgb, mode, palette,
+                       every_n_video_frames=args.every_n, frame_rate=fps)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=mf.n_frames_total, n_audio_ticks=10 ** 9,
+        input_frame_rate=fps, ticks_per_second=tps,
+        every_n_video_frames=args.every_n, mode=mode, k=args.k)
+    tgt_main = mf.targets_main[:n_enc]
+    tgt_aux = None if mf.targets_aux is None else mf.targets_aux[:n_enc]
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(tgt_main, tgt_aux, mode)
+    dist = get_distance(mode, palette, "window")
+
+    # ours
+    t0 = time.time()
+    ops_dev, fin_m, fin_a = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=0)
+    flat_ours = encoder.flatten_ops(np.asarray(ops_dev), plan)
+    ours_s = time.time() - t0
+    print("ours: %d ops in %.1fs" % (len(flat_ours), ours_s),
+          file=sys.stderr)
+
+    # reference (tables generated on demand into the workdir)
+    os.makedirs(args.workdir, exist_ok=True)
+    _prepare_workdir(args.workdir, mode, palette)
+    cwd = os.getcwd()
+    try:
+        ref = _import_reference(args.workdir)
+        t0 = time.time()
+        flat_ref = reference_encode(
+            ref, tgt_main, tgt_aux, plan, mode, palette,
+            args.every_n, fps, tps, mf.n_frames_total, seed=0)
+        ref_s = time.time() - t0
+    finally:
+        os.chdir(cwd)
+    print("reference: %d ops in %.1fs" % (len(flat_ref), ref_s),
+          file=sys.stderr)
+    assert len(flat_ref) == len(flat_ours) == plan.n_ops, (
+        len(flat_ref), len(flat_ours), plan.n_ops)
+
+    # score both with the same replayed metric
+    rep_ours = quality.replay_frame_errors(flat_ours, plan, lanes_tgt,
+                                           mode, dist)
+    rep_ref = quality.replay_frame_errors(flat_ref, plan, lanes_tgt,
+                                          mode, dist)
+
+    movie_seconds = plan.n_ops / tps
+    summary = {
+        "mode": args.mode,
+        "n_ops": int(plan.n_ops),
+        "movie_seconds": round(movie_seconds, 2),
+        "ours_mean_error": round(rep_ours.mean_error, 4),
+        "ref_mean_error": round(rep_ref.mean_error, 4),
+        "ours_final_error": round(rep_ours.final_error, 4),
+        "ref_final_error": round(rep_ref.final_error, 4),
+        "ours_encode_s": round(ours_s, 2),
+        "ref_encode_s": round(ref_s, 2),
+        "fidelity_ratio_mean": round(
+            rep_ref.mean_error / max(rep_ours.mean_error, 1e-9), 3),
+        "speedup": round(ref_s / max(ours_s, 1e-9), 1),
+    }
+
+    with open(args.report, "a") as f:
+        f.write("\n## %s A/B (%.1fs clip, k=%d, every_n=%d) — %s\n\n"
+                % (args.mode, movie_seconds, args.k, args.every_n,
+                   time.strftime("%Y-%m-%d %H:%M")))
+        f.write("Same quantized targets, same tick/bank schedule, same %d-op"
+                " budget; scored by replaying both streams and measuring the"
+                " mean CIE2000 lane edit distance to the target at each"
+                " encoded frame boundary (lower is better; the reference's"
+                " own metric basis).\n\n" % plan.n_ops)
+        f.write("| encoder | mean error | final error | encode wall |\n")
+        f.write("|---|---|---|---|\n")
+        f.write("| reference greedy (numpy+heapq) | %.4f | %.4f | %.1fs |\n"
+                % (rep_ref.mean_error, rep_ref.final_error, ref_s))
+        f.write("| ours (TPU scan, k=%d) | %.4f | %.4f | %.1fs |\n"
+                % (args.k, rep_ours.mean_error, rep_ours.final_error,
+                   ours_s))
+        f.write("\nfidelity ratio (ref/ours mean error, >1 = ours better):"
+                " **%.3f**; encode speedup: **%.1fx**\n"
+                % (summary["fidelity_ratio_mean"], summary["speedup"]))
+
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

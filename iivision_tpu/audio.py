@@ -33,8 +33,9 @@ def decode_audio(filename: str) -> Tuple[np.ndarray, int]:
         if data.ndim == 2:
             data = data.mean(axis=1)
         # normalize integer formats to int16 scale like audioread does
+        # (np.ptp: ndarray.ptp was removed in numpy 2.0)
         if data.max() > 2 ** 15 or data.min() < -2 ** 15:
-            data = data / (data.ptp() / 2 ** 16 + 1e-9)
+            data = data / (np.ptp(data) / 2 ** 16 + 1e-9)
         return data, int(rate)
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
@@ -98,9 +99,16 @@ class Audio:
                     dtype=np.float32)
         return self._resampled
 
-    def _normalization(self, max_samples: int = 10 * 1024 * 1024 // 2):
-        """Percentile normalization over (the head of) the resampled signal
-        (reference audio.py:64-82)."""
+    def _normalization(self, read_bytes: int = 10 * 1024 * 1024):
+        """Percentile normalization over the head of the resampled signal.
+
+        The reference (audio.py:64-82) decodes the first ~10MB of the source
+        and resamples *that head* before taking percentiles; match its head
+        length by converting 10MB of mono int16 source bytes into the
+        equivalent number of resampled samples.
+        """
+        n_src = read_bytes // 2  # mono int16 source samples
+        max_samples = int(n_src * self.sample_rate / self._rate)
         a = self._resample()[:max_samples]
         norm = np.max(np.abs(np.percentile(a, [0.5, 99.5])))
         if norm == 0:

@@ -39,10 +39,6 @@ def build_parser() -> argparse.ArgumentParser:
                              "order).")
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
-    parser.add_argument("--two_pass", action="store_true",
-                        help="Obsolete (accepted, ignored): companions are "
-                             "now ranked against the live diff every step, "
-                             "which supersedes the two-pass re-ranking.")
     parser.add_argument("--colour_model", type=str, default="window",
                         choices=["window", "yiq"],
                         help="Perceptual basis: 'window' = the reference's "
@@ -70,7 +66,6 @@ def main(args=None):
         dither_mode=args.dither,
         k=args.k,
         seed=args.seed,
-        two_pass=args.two_pass,
         chunk_frames=args.chunk_frames,
         colour_model=args.colour_model,
     )

@@ -45,8 +45,11 @@ transcoder/movie.py:56-111):
 Documented divergences from the reference greedy (shared with the host
 oracle in encoder_host.py): priorities are arrays (argmax always sees
 current values, unlike the stale-able heap); tie-breaks are seeded (pages
-and primary offsets) or lowest-index (companions); and the bank's diff
-weights refresh at chunk starts rather than per op.
+and primary offsets) or lowest-index (companions); the bank's diff
+weights refresh at chunk starts rather than per op; and all 3 companion
+slots carry real offsets (the reference stops at 2 companions and pads
+the 4th slot with the primary offset, video.py:180-185 — a duplicate
+store that wastes a quarter of the opcode's video bandwidth).
 """
 
 import functools
@@ -73,9 +76,6 @@ class MoviePlan:
     step_frame: np.ndarray  # (S,) int32: index into the stacked targets
     step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
     step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
-    step_rebuild_cand: np.ndarray  # (S,) bool: first chunk of (frame, bank)
-    # (informational: the scan rebuilds its diff + cost slab at every
-    # step_recompute; rebuild_cand marks each (frame, bank)'s first chunk)
     step_nvalid: np.ndarray  # (S,) int32: number of real ops in this step
     op_tick_index: np.ndarray  # (n_ops,) int32: audio tick of each opcode
 
@@ -93,13 +93,14 @@ def plan_movie(
 
     Derives, for every emitted opcode, which encoded frame is the target and
     which memory bank it stores to, then chunks runs of (frame, bank) into
-    scan steps of K opcodes with a recompute flag on each chunk's first step
-    and a candidate-rebuild flag on each (frame, bank)'s first step.
+    scan steps of K opcodes with a recompute flag on each chunk's first step.
     """
     tpf = ticks_per_second / input_frame_rate
-    # tick at which video frame pull f (1-based) happens; the movie ends when
-    # the (n_frames+1)-th pull would raise StopIteration
-    end_tick = int(np.ceil(tpf * (n_frames + 1)))
+    # The movie ends when the (n_frames+1)-th frame pull raises StopIteration.
+    # Reference semantics (video.py:67 with frame_number starting at 0): pull
+    # f happens at the first tick >= tpf*(f-1), so the terminating pull is at
+    # ceil(tpf*n_frames) and that tick emits no opcode.
+    end_tick = int(np.ceil(tpf * n_frames))
     n_ops = int(min(n_audio_ticks, end_tick - 1))
     if n_ops <= 0:
         raise ValueError("Empty movie: no opcodes to emit")
@@ -122,19 +123,15 @@ def plan_movie(
     chunk_starts = np.flatnonzero(change)
     chunk_ends = np.append(chunk_starts[1:], n_ops)
 
-    sf, sb, sr, src_, sn = [], [], [], [], []
-    seen = set()
+    sf, sb, sr, sn = [], [], [], []
     for cs, ce in zip(chunk_starts, chunk_ends):
         length = ce - cs
         n_steps = -(-length // k)
-        combo = (int(encoded[cs]), int(bank[cs]))
         for s in range(n_steps):
             sf.append(encoded[cs])
             sb.append(bank[cs])
             sr.append(s == 0)
-            src_.append(s == 0 and combo not in seen)
             sn.append(min(k, length - s * k))
-        seen.add(combo)
 
     return MoviePlan(
         n_ops=n_ops,
@@ -142,7 +139,6 @@ def plan_movie(
         step_frame=np.asarray(sf, dtype=np.int32),
         step_bank=np.asarray(sb, dtype=np.int32),
         step_recompute=np.asarray(sr, dtype=bool),
-        step_rebuild_cand=np.asarray(src_, dtype=bool),
         step_nvalid=np.asarray(sn, dtype=np.int32),
         op_tick_index=op_idx.astype(np.int32),
     ), n_encoded
@@ -432,21 +428,16 @@ def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool):
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
-                 mode: VideoMode, seed: Optional[int] = 0,
-                 two_pass: bool = False):
+                 mode: VideoMode, seed: Optional[int] = 0):
     """Encode a planned movie on the accelerator.
 
     dist: a distance.ComputedDistance for (mode, palette).
     seed=None disables random tie-breaks (deterministic; for testing).
-    two_pass is accepted for API compatibility and ignored: companion
-    offsets are now ranked against the live diff at every step, which
-    strictly supersedes the old two-pass frame-start re-ranking.
     Returns (ops (S, K, 6) uint8, final main (32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    del two_pass  # obsolete: live companion ranking is always on
     fn = _jitted_encode(mode, plan.k, seed is None)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
@@ -458,7 +449,7 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
 
 def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
                          mode: VideoMode, seed: Optional[int] = 0,
-                         two_pass: bool = False, chunk_frames: int = 512):
+                         chunk_frames: int = 512):
     """Encode an arbitrarily long planned movie in bounded device memory.
 
     Splits the plan at encoded-frame boundaries into segments of at most
@@ -477,7 +468,6 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     import jax
     import jax.numpy as jnp
 
-    del two_pass  # obsolete: live companion ranking is always on
     if chunk_frames <= 0:
         raise ValueError("chunk_frames must be positive, got %r"
                          % (chunk_frames,))

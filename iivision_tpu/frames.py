@@ -2,26 +2,44 @@
 
 Replaces reference transcoder/frame_grabber.py (skvideo/ffmpeg decode, PIL
 Lanczos resize to 280x192, bmp2dhr subprocess per frame, background worker
-thread + disk cache).  Sources supported natively: numpy arrays / .npy
-stacks, animated GIFs and image sequences (PIL), video files (OpenCV when
-built with a decoder, else ffmpeg subprocess).  Quantization runs batched in
-JAX (ops/dither.py) instead of one subprocess per frame; a per-movie .npz
-target cache mirrors the reference's frame-cache resume behaviour
-(reference frame_grabber.py:47-51, 69-74).
+thread + disk cache) with a pipelined, batched design:
+
+- a background decode thread feeds raw frame batches through a bounded
+  queue (mirroring the reference's worker + Queue(10) pipelining,
+  frame_grabber.py:66, 117-130) so decode overlaps quantization and host
+  RAM stays bounded by the queue depth, not the movie length;
+- resize is a separable Lanczos-3 matmul (ops/resize.py) - batched numpy on
+  host or the identical matrices on device - instead of one PIL call per
+  frame;
+- quantization runs batched + jitted in JAX (ops/dither.py) and is
+  dispatched asynchronously, so the device works on batch i while the host
+  decodes batch i+1;
+- a per-movie .npz target cache (stamped with the source file identity)
+  mirrors the reference's frame-cache resume behaviour
+  (reference frame_grabber.py:47-51, 69-74);
+- reference bmp2dhr frame caches (`<video>/<MODE>/<PALETTE>/%08d.BIN/.AUX`,
+  reference frame_grabber.py:47-51, 89-99) are ingestible directly, so
+  movies quantized by the reference toolchain can be encoded and compared
+  apples-to-apples.
 """
 
-import hashlib
+import functools
 import os
+import queue
+import threading
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
 from iivision_tpu.ops import dither
+from iivision_tpu.ops import resize as resize_mod
 from iivision_tpu.palettes import Palette
 from iivision_tpu.video_mode import VideoMode
 
 TARGET_W, TARGET_H = 140, 192
+DECODE_BATCH = 64  # frames per decode/quantize batch
+QUEUE_BATCHES = 4  # bounded pipeline depth (host RAM cap)
 
 
 @dataclass
@@ -105,16 +123,11 @@ def _ffmpeg_frames(path: str):
 
 
 def resize_frame(rgb: np.ndarray) -> np.ndarray:
-    """Lanczos resize to the 140x192 DHGR pixel grid (reference resizes to
-    280x192, frame_grabber.py:75; bmp2dhr then quantizes at 140px)."""
-    from PIL import Image
-    im = Image.fromarray(np.asarray(rgb, dtype=np.uint8))
-    return np.asarray(
-        im.resize((TARGET_W, TARGET_H), resample=Image.LANCZOS),
-        dtype=np.uint8)
-
-
-import functools
+    """Lanczos resize of one frame to the 140x192 DHGR pixel grid (the
+    reference resizes to 280x192 via PIL, frame_grabber.py:75; bmp2dhr then
+    quantizes at 140px)."""
+    return resize_mod.resize_batch(
+        np.asarray(rgb, dtype=np.uint8)[None], TARGET_H, TARGET_W)[0]
 
 
 @functools.lru_cache(None)
@@ -129,9 +142,75 @@ def _jit_quantize(mode: VideoMode, palette: Palette):
             return dither.dhgr_codes_to_memory(codes)
     else:
         def f(rgb):
-            return dither.quantize_hgr(rgb, palette)
+            main = dither.quantize_hgr(rgb, palette)
+            return main, None
     return jax.jit(f)
 
+
+def _quantize_batch(rgb: np.ndarray, mode: VideoMode, palette: Palette,
+                    dither_mode: str):
+    """Quantize a (B, 192, 140, 3) batch; returns device arrays (async)."""
+    if dither_mode == "ordered":
+        return _jit_quantize(mode, palette)(rgb)
+    codes = np.stack([
+        dither.quantize_error_diffusion(f.astype(np.float32), palette,
+                                        kernel=dither_mode)
+        for f in rgb])
+    if mode == VideoMode.DHGR:
+        return dither.dhgr_codes_to_memory(codes)
+    dots = dither.hgr_desired_dots(codes)
+    return dither.hgr_bytes_to_memory(dither.hgr_dots_to_bytes(dots)), None
+
+
+# --- reference bmp2dhr frame-cache ingestion ---------------------------------
+
+def reference_cache_dir(video_path: str, mode: VideoMode,
+                        palette: Palette) -> str:
+    """The reference's frame-cache directory for a video
+    (reference frame_grabber.py:46-51): `<video sans ext>/<MODE>/<PALETTE>`."""
+    return os.path.join(os.path.splitext(video_path)[0],
+                        mode.name, palette.name)
+
+
+def load_reference_cache(cache_dir: str, mode: VideoMode):
+    """Load reference bmp2dhr frame caches as encoder targets.
+
+    The reference stores one 8KB flat (D)HGR memory dump per frame:
+    `%08d.BIN` + `%08d.AUX` for DHGR, `%08dC.BIN` for HGR (reference
+    frame_grabber.py:68-99, flat layout = screen.FlatMemoryMap screen_page=1,
+    i.e. pages 0x20..0x3F row-major -> our (32, 256) maps).
+
+    Returns (targets_main (F,32,256), targets_aux (F,32,256)|None, n_frames).
+    """
+    mains, auxes = [], []
+    idx = 0
+    while True:
+        if mode == VideoMode.DHGR:
+            mainfile = os.path.join(cache_dir, "%08d.BIN" % idx)
+            auxfile = os.path.join(cache_dir, "%08d.AUX" % idx)
+            if not (os.path.exists(mainfile) and os.path.exists(auxfile)):
+                break
+            mains.append(np.fromfile(mainfile, dtype=np.uint8))
+            auxes.append(np.fromfile(auxfile, dtype=np.uint8))
+        else:
+            mainfile = os.path.join(cache_dir, "%08dC.BIN" % idx)
+            if not os.path.exists(mainfile):
+                break
+            mains.append(np.fromfile(mainfile, dtype=np.uint8))
+        idx += 1
+    if idx == 0:
+        raise ValueError("No cached frames found in %s" % cache_dir)
+    for arr in mains + auxes:
+        if arr.size != 8192:
+            raise ValueError("Cached frame is %d bytes, expected 8192"
+                             % arr.size)
+    main = np.stack(mains).reshape(idx, 32, 256)
+    aux = (np.stack(auxes).reshape(idx, 32, 256)
+           if mode == VideoMode.DHGR else None)
+    return main, aux, idx
+
+
+# --- the ingest pipeline ------------------------------------------------------
 
 def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:
     base = os.path.splitext(path)[0]
@@ -139,18 +218,79 @@ def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:
     return "%s.iiv_%s.npz" % (base, tag)
 
 
+def _source_stamp(path: str) -> str:
+    """Identity stamp of the source file: a changed source invalidates the
+    quantized-target cache (size + mtime, like make)."""
+    st = os.stat(path)
+    return "%d:%d" % (st.st_size, st.st_mtime_ns)
+
+
+def _decode_worker(frames_iter, every_n: int, out_q: queue.Queue):
+    """Decode thread: batches of resized RGB frames into a bounded queue.
+
+    Emits ("batch", resized (B,192,140,3) uint8) items and finally
+    ("done", n_frames_total) or ("error", exc).
+    """
+    try:
+        batch = []
+        n_total = 0
+        for idx, frame in enumerate(frames_iter):
+            n_total += 1
+            if (idx % every_n) != 0:
+                continue
+            frame = np.asarray(frame, dtype=np.uint8)
+            batch.append(frame)
+            if len(batch) == DECODE_BATCH:
+                out_q.put(("batch", _resize_stack(batch)))
+                batch = []
+        if batch:
+            out_q.put(("batch", _resize_stack(batch)))
+        out_q.put(("done", n_total))
+    except BaseException as e:  # surface decode errors to the consumer
+        out_q.put(("error", e))
+
+
+def _resize_stack(batch) -> np.ndarray:
+    """Stack + resize a list of same-or-mixed-size frames to the target grid
+    (host numpy matmuls; source-resolution pixels never cross the device
+    link)."""
+    if all(f.shape[:2] == (TARGET_H, TARGET_W) for f in batch):
+        return np.stack(batch)
+    # group by source shape so each group is one batched matmul pair
+    out = np.empty((len(batch), TARGET_H, TARGET_W, 3), dtype=np.uint8)
+    by_shape = {}
+    for i, f in enumerate(batch):
+        by_shape.setdefault(f.shape, []).append(i)
+    for shape, idxs in by_shape.items():
+        stack = np.stack([batch[i] for i in idxs])
+        if shape[:2] != (TARGET_H, TARGET_W):
+            stack = resize_mod.resize_batch(stack, TARGET_H, TARGET_W)
+        out[idxs] = stack
+    return out
+
+
 def ingest(source, mode: VideoMode, palette: Palette,
            every_n_video_frames: int = 1,
            dither_mode: str = "ordered",
            frame_rate: Optional[float] = None,
            cache: bool = True) -> MovieFrames:
-    """Decode + quantize a movie into encoder targets.
+    """Decode + quantize a movie into encoder targets (pipelined).
 
-    source: path, or (F, H, W, 3) uint8 array (frame_rate then required).
+    source: path (video/gif/npy), a (F, H, W, 3) uint8 array (frame_rate
+    then recommended), or a reference bmp2dhr frame-cache directory
+    (`.../<MODE>/<PALETTE>` holding %08d.BIN/.AUX dumps).
     """
+    cache_file = None
     if isinstance(source, np.ndarray):
         frames_iter, rate = iter(source), (frame_rate or 30.0)
-        cache_file = None
+    elif os.path.isdir(source):
+        main, aux, n = load_reference_cache(source, mode)
+        sel = slice(None, None, every_n_video_frames)
+        return MovieFrames(
+            targets_main=main[sel],
+            targets_aux=(None if aux is None else aux[sel]),
+            n_frames_total=n,
+            input_frame_rate=(frame_rate or 30.0))
     else:
         frames_iter, rate = iter_video_frames(source)
         if frame_rate:
@@ -160,45 +300,48 @@ def ingest(source, mode: VideoMode, palette: Palette,
             if cache else None
         if cache_file and os.path.exists(cache_file):
             data = np.load(cache_file)
-            return MovieFrames(
-                targets_main=data["main"],
-                targets_aux=(data["aux"] if "aux" in data else None),
-                n_frames_total=int(data["n_total"]),
-                input_frame_rate=float(data["rate"]))
+            stamp = str(data["stamp"]) if "stamp" in data else None
+            if stamp == _source_stamp(source):
+                return MovieFrames(
+                    targets_main=data["main"],
+                    targets_aux=(data["aux"] if "aux" in data else None),
+                    n_frames_total=int(data["n_total"]),
+                    # an explicit frame_rate override beats the cached rate
+                    input_frame_rate=float(frame_rate or data["rate"]))
+            # stale (source changed since caching): re-quantize below
 
-    mains, auxes = [], []
-    n_total = 0
-    batch = []
-    for idx, frame in enumerate(frames_iter):
-        n_total += 1
-        if (idx % every_n_video_frames) != 0:
-            continue
-        if frame.shape[:2] != (TARGET_H, TARGET_W):
-            frame = resize_frame(frame)
-        batch.append(frame)
-    if not batch:
+    # pipelined decode -> resize -> quantize: the decode thread fills a
+    # bounded queue; quantize batches dispatch asynchronously to the device
+    # so decode(i+1) overlaps quantize(i).
+    q = queue.Queue(maxsize=QUEUE_BATCHES)
+    t = threading.Thread(
+        target=_decode_worker, args=(frames_iter, every_n_video_frames, q),
+        daemon=True)
+    t.start()
+
+    pending = []  # device arrays, fetched after the last dispatch
+    n_total = None
+    while True:
+        kind, payload = q.get()
+        if kind == "error":
+            raise payload
+        if kind == "done":
+            n_total = payload
+            break
+        pending.append(_quantize_batch(payload, mode, palette, dither_mode))
+    t.join()
+    if not pending:
         raise ValueError("No frames decoded from source")
 
-    rgb = np.stack(batch)  # (F_enc, 192, 140, 3) uint8 (cast on device)
-    if mode == VideoMode.DHGR:
-        if dither_mode == "ordered":
-            main, aux = _jit_quantize(VideoMode.DHGR, palette)(rgb)
-            main, aux = np.asarray(main), np.asarray(aux)
-        else:
-            codes = np.stack([
-                dither.quantize_error_diffusion(f.astype(np.float32), palette,
-                                                kernel=dither_mode)
-                for f in rgb])
-            main, aux = dither.dhgr_codes_to_memory(codes)
-            main, aux = np.asarray(main), np.asarray(aux)
-    else:
-        main = np.asarray(_jit_quantize(VideoMode.HGR, palette)(rgb))
-        aux = None
+    main = np.concatenate([np.asarray(m) for m, _ in pending])
+    aux = (np.concatenate([np.asarray(a) for _, a in pending])
+           if mode == VideoMode.DHGR else None)
 
     out = MovieFrames(targets_main=main, targets_aux=aux,
                       n_frames_total=n_total, input_frame_rate=rate)
     if cache_file:
-        payload = dict(main=main, n_total=n_total, rate=rate)
+        payload = dict(main=main, n_total=n_total, rate=rate,
+                       stamp=_source_stamp(source))
         if aux is not None:
             payload["aux"] = aux
         np.savez_compressed(cache_file, **payload)

@@ -52,7 +52,6 @@ class Movie:
             audio_source: Optional[audio_mod.Audio] = None,
             dist=None,
             frame_rate: Optional[float] = None,
-            two_pass: bool = False,  # obsolete, accepted + ignored
             chunk_frames: Optional[int] = None,
             colour_model: str = "window",
     ):
@@ -64,7 +63,6 @@ class Movie:
         self.dither_mode = dither_mode
         self.k = k
         self.seed = seed
-        self.two_pass = two_pass
         # segment very long movies so device-resident targets stay bounded
         # in HBM; None = auto (chunk past 1024 encoded frames)
         self.chunk_frames = chunk_frames
@@ -131,13 +129,13 @@ class Movie:
         if chunk:
             ops_dev, fin_main, fin_aux = encoder.encode_movie_chunked(
                 self.dist, tgt_main, tgt_aux, plan, self.video_mode,
-                seed=self.seed, two_pass=self.two_pass, chunk_frames=chunk)
+                seed=self.seed, chunk_frames=chunk)
         else:
             lanes_tgt, bytes_tgt = encoder.prepare_targets(
                 tgt_main, tgt_aux, self.video_mode)
             ops_dev, fin_main, fin_aux = encoder.encode_movie(
                 self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
-                seed=self.seed, two_pass=self.two_pass)
+                seed=self.seed)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0
         self.final_main = np.asarray(fin_main)

@@ -46,6 +46,51 @@ def replicate(x, mesh):
 
 
 @functools.lru_cache(None)
+def _jitted_batch_ingest(mode: VideoMode, palette):
+    """Jitted (B, F, H, W, 3) uint8 RGB -> (lanes_b, bytes_b) targets.
+
+    Fuses the whole ingestion stage on device: Lanczos resize (two MXU
+    matmuls, ops/resize.py), ordered-dither quantization, screen-memory
+    packing and masked-lane derivation.  Mapped per movie (lax.map over the
+    batch axis) so the per-pixel palette-distance buffers stay bounded by
+    one movie's frame count, not B times that.
+    """
+    import jax
+
+    from iivision_tpu import frames as frames_mod
+    from iivision_tpu.ops import dither as dither_mod
+    from iivision_tpu.ops import resize as resize_mod
+
+    def one_movie(rgb):  # (F, H, W, 3) uint8
+        if rgb.shape[1:3] != (frames_mod.TARGET_H, frames_mod.TARGET_W):
+            rgb = resize_mod.resize_batch(
+                rgb, frames_mod.TARGET_H, frames_mod.TARGET_W)
+        if mode == VideoMode.DHGR:
+            codes = dither_mod.quantize_ordered(rgb, palette)
+            main, aux = dither_mod.dhgr_codes_to_memory(codes)
+        else:
+            main, aux = dither_mod.quantize_hgr(rgb, palette), None
+        return encoder.prepare_targets(main, aux, mode)
+
+    def f(rgb_b):  # (B, F, H, W, 3) uint8
+        return jax.lax.map(one_movie, rgb_b)
+
+    return jax.jit(f)
+
+
+def ingest_movies_batch(rgb_b, mode: VideoMode, palette, mesh=None):
+    """Device-side batched ingestion for equal-length movies.
+
+    rgb_b: (B, F, H, W, 3) uint8 source frames (device-resident or host).
+    Returns (lanes_b (B,F,32,128,L), bytes_b (B,F,2,32,256)) device arrays,
+    sharded over the mesh batch axis when a mesh is given.
+    """
+    if mesh is not None:
+        rgb_b = shard_batch(rgb_b, mesh)
+    return _jitted_batch_ingest(mode, palette)(rgb_b)
+
+
+@functools.lru_cache(None)
 def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
     import jax
 

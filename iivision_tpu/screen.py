@@ -26,7 +26,7 @@ HGR (reference screen.py:550-816): per column pair, 22-bit layout
 All functions below take/return numpy or jax.numpy arrays interchangeably.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -73,56 +73,6 @@ def _populate_mappings():
 
 
 _populate_mappings()
-
-
-# --- Memory map containers (parity: reference screen.py:72-125) -------------
-
-class FlatMemoryMap:
-    """Linear 8K representation of HGR screen memory."""
-
-    def __init__(self, screen_page: int, data: Optional[np.ndarray] = None):
-        if screen_page not in (1, 2):
-            raise ValueError("Screen page out of bounds: %d" % screen_page)
-        self.screen_page = screen_page
-        self._addr_start = 8192 * screen_page
-        self._addr_end = self._addr_start + 8191
-        if data is not None:
-            if data.shape != (8192,):
-                raise ValueError("Unexpected shape: %r" % (data.shape,))
-            self.data = data
-        else:
-            self.data = np.zeros((8192,), dtype=np.uint8)
-
-    def to_memory_map(self) -> "MemoryMap":
-        return MemoryMap(self.screen_page, self.data.reshape((32, 256)))
-
-    def write(self, addr: int, val: int) -> None:
-        if addr < self._addr_start or addr > self._addr_end:
-            raise ValueError("Address out of range: 0x%04x" % addr)
-        self.data[addr - self._addr_start] = val
-
-
-class MemoryMap:
-    """(32 pages, 256 offsets) representation of HGR screen memory."""
-
-    def __init__(self, screen_page: int,
-                 page_offset: Optional[np.ndarray] = None):
-        if screen_page not in (1, 2):
-            raise ValueError("Screen page out of bounds: %d" % screen_page)
-        self.screen_page = screen_page
-        self._page_start = 32 * screen_page
-        if page_offset is not None:
-            if page_offset.shape != (32, 256):
-                raise ValueError("Unexpected shape: %r" % (page_offset.shape,))
-            self.page_offset = page_offset
-        else:
-            self.page_offset = np.zeros((32, 256), dtype=np.uint8)
-
-    def to_flat_memory_map(self) -> FlatMemoryMap:
-        return FlatMemoryMap(self.screen_page, self.page_offset.reshape(8192))
-
-    def write(self, page: int, offset: int, val: int) -> None:
-        self.page_offset[page - self._page_start][offset] = val
 
 
 # --- Bitmap specifications ---------------------------------------------------

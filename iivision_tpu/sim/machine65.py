@@ -1,0 +1,125 @@
+"""Run the assembled player on the 6502 Apple IIe machine (csrc/apple2_vm).
+
+This is end-to-end hardware-level verification: `play_stream` assembles the
+vendored player source (asm65.py - every label validated against the frozen
+.dbg), loads the image into a simulated 64K Apple IIe with a W5100 model,
+connects the `.a2m` byte stream as the TCP feed, and executes the player
+instruction-by-instruction with cycle accounting.  Callers can then assert:
+
+- final MAIN/AUX hires screen memory == the encoder's model (the parity
+  clause at the machine level, not just the opcode-ABI level);
+- speaker tick cadence: ticks must fall exactly 73 cycles apart pairwise
+  per opcode with the stream's duty cycles (the audio DAC contract,
+  main.s:366-398);
+- the decode loop's register/bank invariants held for the whole run.
+"""
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+from iivision_tpu.sim import asm65
+
+_CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
+_SO = os.path.join(_CSRC, "libapple2_vm.so")
+
+EXIT_NAMES = {0: "TERMINATED", 1: "PRODOS_QUIT", 2: "MAX_CYCLES",
+              3: "BRK", 4: "STALL"}
+
+
+def _build_library() -> str:
+    src = os.path.join(_CSRC, "apple2_vm.cpp")
+    if (not os.path.exists(_SO)
+            or os.path.getmtime(_SO) < os.path.getmtime(src)):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO])
+    return _SO
+
+
+@dataclass
+class RunResult:
+    exit_reason: str
+    cycles: int
+    tick_cycles: np.ndarray  # (n_ticks,) cycle time of each speaker access
+    main: np.ndarray  # (32, 256) final main hires page ($2000-$3FFF)
+    aux: np.ndarray  # (32, 256) final aux hires page
+    n_recv: int  # W5100 RECV commands issued (== ACK opcodes executed)
+    pc: int
+    regs: tuple  # (A, X, Y) at exit
+
+    @property
+    def duty_cycles(self) -> np.ndarray:
+        """Per-opcode speaker duty: gap between each tick pair.
+
+        The player ticks the speaker exactly twice per 73-cycle opcode
+        (N cycles apart = the duty), and keeps the 36/37 cadence through
+        the ACK slow path - so pairing consecutive ticks recovers the
+        encoded audio levels.
+        """
+        t = self.tick_cycles
+        return (t[1::2] - t[0::2]).astype(np.int64)
+
+
+class Apple2Player:
+    """The vendored player running on the simulated machine."""
+
+    def __init__(self):
+        self.assembly = asm65.assemble_player()
+        asm65.validate_against_dbg(self.assembly)
+        self._lib = ctypes.CDLL(_build_library())
+        self._lib.a2_run.restype = ctypes.c_int64
+        self._lib.a2_run.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_uint16, ctypes.c_uint16,
+            ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint16,
+        ]
+
+    def run(self, stream: bytes,
+            max_cycles: int = 1 << 40) -> RunResult:
+        syms = self.assembly.symbols
+        main = np.zeros(65536, np.uint8)
+        aux = np.zeros(65536, np.uint8)
+        main[:] = np.frombuffer(bytes(self.assembly.image), np.uint8)
+        tick_cap = len(stream) // 7 * 2 + 4096
+        ticks = np.zeros(tick_cap, np.int64)
+        counts = np.zeros(9, np.int64)
+
+        def ptr(arr, ty):
+            return arr.ctypes.data_as(ctypes.POINTER(ty))
+
+        rc = self._lib.a2_run(
+            ptr(main, ctypes.c_uint8), ptr(aux, ctypes.c_uint8),
+            stream, len(stream), max_cycles,
+            ptr(ticks, ctypes.c_int64), tick_cap,
+            ptr(counts, ctypes.c_int64),
+            self.assembly.entry, syms["op_terminate"],
+            syms["HGR0"], syms["COUT"], syms["PRODOS"])
+        del rc
+        n_ticks = min(int(counts[0]), tick_cap)
+        return RunResult(
+            exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
+            cycles=int(counts[1]),
+            tick_cycles=ticks[:n_ticks].copy(),
+            main=main[0x2000:0x4000].reshape(32, 256).copy(),
+            aux=aux[0x2000:0x4000].reshape(32, 256).copy(),
+            n_recv=int(counts[4]),
+            pc=int(counts[3]),
+            regs=(int(counts[6]), int(counts[7]), int(counts[8])),
+        )
+
+
+_PLAYER = None
+
+
+def play_stream(stream: bytes, max_cycles: int = 1 << 40) -> RunResult:
+    global _PLAYER
+    if _PLAYER is None:
+        _PLAYER = Apple2Player()
+    return _PLAYER.run(stream, max_cycles)

@@ -32,11 +32,13 @@ def test_plan_movie_basic():
         n_frames=4, n_audio_ticks=10 ** 6, input_frame_rate=30.0,
         ticks_per_second=14700.0, every_n_video_frames=2,
         mode=VideoMode.DHGR, k=8)
-    # movie ends when frame 5 would be pulled: tick ceil(490*5) = 2450
-    assert plan.n_ops == 2449
+    # the movie ends when the 5th frame pull raises StopIteration at the
+    # first tick >= 490*4 = 1960 (reference video.py:67, frame_number
+    # starting at 0); that tick emits no opcode
+    assert plan.n_ops == 1959
     assert n_enc == 2
     assert plan.step_nvalid.sum() == plan.n_ops
-    assert plan.step_recompute[0] and plan.step_rebuild_cand[0]
+    assert plan.step_recompute[0]
     assert plan.step_bank[0] == 0
     assert plan.step_frame[0] == 0
     # banks alternate across 2KB segments
@@ -44,12 +46,7 @@ def test_plan_movie_basic():
     # every chunk start is a recompute; frame changes are new_frame
     changes = np.flatnonzero(np.diff(plan.step_frame) != 0) + 1
     assert plan.step_recompute[changes].all()
-    # candidate rebuilds: exactly one per (frame, bank) combo
-    combos = set(zip(plan.step_frame[plan.step_rebuild_cand].tolist(),
-                     plan.step_bank[plan.step_rebuild_cand].tolist()))
-    assert len(combos) == plan.step_rebuild_cand.sum()
-    # bank flips within a frame recompute priorities but only the first
-    # chunk of each (frame, bank) rebuilds candidates
+    # bank flips within a frame recompute priorities
     bankflips = np.flatnonzero(
         (np.diff(plan.step_bank) != 0)
         & (np.diff(plan.step_frame) == 0)) + 1
@@ -69,8 +66,6 @@ def test_plan_movie_hgr_no_bank_flips():
     changes = np.flatnonzero(np.diff(fr) != 0) + 1
     assert rec[changes].all()
     assert rec.sum() == len(changes) + 1
-    # in HGR every recompute is also a candidate rebuild (one bank)
-    assert np.array_equal(plan.step_recompute, plan.step_rebuild_cand)
 
 
 def test_plan_audio_limits_length():
@@ -195,10 +190,9 @@ def test_chunked_matches_unchunked(mode, seed, chunk):
     assert np.array_equal(aux_c, np.asarray(aux_ref))
 
 
-def test_two_pass_flag_is_noop():
-    """two_pass is accepted for API compatibility but live companion
-    ranking (always on) supersedes it: outputs are identical, the stream is
-    VM-decodable, and replay quality is finite."""
+def test_encode_stream_quality_and_vm():
+    """Encode a short movie, check replay quality is finite and the emitted
+    stream decodes cleanly on the player VM."""
     from iivision_tpu import quality
     from iivision_tpu.sim import PlayerVM
     from iivision_tpu.stream.emit_fast import emit_stream_fast
@@ -211,18 +205,13 @@ def test_two_pass_flag_is_noop():
         ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
 
-    flats = {}
-    for tp in (False, True):
-        ops_dev, fin_m, fin_a = encoder.encode_movie(
-            dist, lanes_tgt, bytes_tgt, plan, mode, seed=3, two_pass=tp)
-        flats[tp] = encoder.flatten_ops(np.asarray(ops_dev), plan)
-        assert flats[tp].shape == (plan.n_ops, 6)
-    assert np.array_equal(flats[False], flats[True])
+    ops_dev, fin_m, fin_a = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=3)
+    flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
+    assert flat.shape == (plan.n_ops, 6)
 
-    rep = quality.replay_frame_errors(flats[False], plan, lanes_tgt,
-                                      mode, dist)
+    rep = quality.replay_frame_errors(flat, plan, lanes_tgt, mode, dist)
     assert np.isfinite(rep.mean_error)
-    data = emit_stream_fast(flats[False], np.zeros(plan.n_ops, np.int32),
-                            mode)
+    data = emit_stream_fast(flat, np.zeros(plan.n_ops, np.int32), mode)
     res = PlayerVM().decode(data)
     assert res.ok, (res.error, res.error_pos)

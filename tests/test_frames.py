@@ -1,0 +1,189 @@
+"""Ingestion tests: matmul Lanczos resize, pipelined decode/quantize,
+source-stamped target cache, reference bmp2dhr frame-cache ingestion."""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import frames
+from iivision_tpu.ops import resize as resize_mod
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+
+def _rand_clip(F=3, h=360, w=640, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 256, size=(F, h, w, 3)).astype(np.uint8)
+
+
+# --- resize -------------------------------------------------------------------
+
+
+def test_resize_matrix_partition_of_unity():
+    for n_in, n_out in [(640, 140), (360, 192), (100, 192), (140, 140)]:
+        m = resize_mod.resize_matrix(n_in, n_out)
+        assert m.shape == (n_out, n_in)
+        np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_resize_identity():
+    img = _rand_clip(F=1, h=192, w=140)[0]
+    out = resize_mod.resize_batch(img[None], 192, 140)[0]
+    assert np.array_equal(out, img)
+
+
+def test_resize_constant_preserved():
+    img = np.full((1, 360, 640, 3), 173, np.uint8)
+    out = resize_mod.resize_batch(img, 192, 140)
+    assert np.all(out == 173)
+
+
+def test_resize_matches_pil_closely():
+    """The matmul resize is the same Lanczos-3 geometry PIL uses; outputs
+    agree to within quantization (PIL rounds between its two passes)."""
+    from PIL import Image
+
+    for (h, w) in [(360, 640), (192, 280)]:
+        img = _rand_clip(F=1, h=h, w=w)[0]
+        ours = resize_mod.resize_batch(img[None], 192, 140)[0]
+        pil = np.asarray(
+            Image.fromarray(img).resize((140, 192), Image.LANCZOS))
+        d = np.abs(ours.astype(int) - pil.astype(int))
+        assert d.mean() < 0.5, d.mean()
+        assert (d > 3).mean() < 0.01
+
+
+def test_resize_batch_jax_matches_numpy():
+    import jax.numpy as jnp
+
+    clip = _rand_clip(F=2, h=240, w=320)
+    host = resize_mod.resize_batch(clip, 192, 140)
+    dev = np.asarray(resize_mod.resize_batch(jnp.asarray(clip), 192, 140))
+    # same matrices, different accumulation order: allow off-by-one rounding
+    assert np.abs(host.astype(int) - dev.astype(int)).max() <= 1
+
+
+# --- pipelined ingest ---------------------------------------------------------
+
+
+def test_ingest_array_resizes_and_quantizes():
+    clip = _rand_clip(F=5, h=240, w=320)
+    mf = frames.ingest(clip, VideoMode.DHGR, Palette.NTSC)
+    assert mf.targets_main.shape == (5, 32, 256)
+    assert mf.targets_aux.shape == (5, 32, 256)
+    assert mf.n_frames_total == 5
+
+
+def test_ingest_every_n_skips_frames():
+    clip = _rand_clip(F=7)
+    mf = frames.ingest(clip, VideoMode.HGR, Palette.NTSC,
+                       every_n_video_frames=3)
+    assert mf.n_frames_total == 7
+    assert mf.targets_main.shape[0] == 3  # frames 0, 3, 6
+    assert mf.targets_aux is None
+
+
+def test_ingest_pipelined_matches_oneshot():
+    """Multi-batch pipelined ingest must equal a single-batch quantize of the
+    same resized frames (pipelining is a schedule, not a model change)."""
+    old = frames.DECODE_BATCH
+    clip = _rand_clip(F=7, h=192, w=140)
+    try:
+        frames.DECODE_BATCH = 3  # force 3 batches through the queue
+        piped = frames.ingest(clip, VideoMode.DHGR, Palette.NTSC)
+    finally:
+        frames.DECODE_BATCH = old
+    oneshot = frames.ingest(clip, VideoMode.DHGR, Palette.NTSC)
+    assert np.array_equal(piped.targets_main, oneshot.targets_main)
+    assert np.array_equal(piped.targets_aux, oneshot.targets_aux)
+
+
+def test_ingest_decode_error_propagates():
+    def bad_frames():
+        yield np.zeros((192, 140, 3), np.uint8)
+        raise RuntimeError("decoder exploded")
+
+    with pytest.raises(RuntimeError, match="decoder exploded"):
+        frames.ingest(np.zeros((0, 1, 1, 3), np.uint8) if False
+                      else _GenSource(bad_frames()),
+                      VideoMode.HGR, Palette.NTSC)
+
+
+class _GenSource(np.ndarray):
+    """ndarray subclass wrapping a generator so ingest's isinstance check
+    routes it down the array path while iteration comes from the generator."""
+
+    def __new__(cls, gen):
+        obj = np.zeros(0, np.uint8).view(cls)
+        obj._gen = gen
+        return obj
+
+    def __iter__(self):
+        return iter(self._gen)
+
+
+# --- npz target cache ---------------------------------------------------------
+
+
+def test_ingest_cache_stamp_invalidation(tmp_path):
+    clip = _rand_clip(F=2, h=192, w=140)
+    path = str(tmp_path / "clip.npy")
+    np.save(path, clip)
+    mf1 = frames.ingest(path, VideoMode.HGR, Palette.NTSC)
+
+    # rewrite the source with different content: the cache must NOT be reused
+    clip2 = _rand_clip(F=2, h=192, w=140, seed=9)
+    np.save(path, clip2)
+    import os
+    os.utime(path, ns=(1, 1))  # force a distinct mtime stamp
+    mf2 = frames.ingest(path, VideoMode.HGR, Palette.NTSC)
+    assert not np.array_equal(mf1.targets_main, mf2.targets_main)
+
+    # unchanged source: cache hit, frame_rate override honoured
+    mf3 = frames.ingest(path, VideoMode.HGR, Palette.NTSC, frame_rate=24.0)
+    assert np.array_equal(mf2.targets_main, mf3.targets_main)
+    assert mf3.input_frame_rate == 24.0
+
+
+# --- reference frame-cache ingestion -----------------------------------------
+
+
+def test_reference_cache_roundtrip_dhgr(tmp_path):
+    """Write a synthetic reference-layout cache dir and ingest it."""
+    rng = np.random.RandomState(3)
+    F = 3
+    mains = rng.randint(0, 256, size=(F, 8192)).astype(np.uint8)
+    auxes = rng.randint(0, 256, size=(F, 8192)).astype(np.uint8)
+    cache_dir = tmp_path / "movie" / "DHGR" / "NTSC"
+    cache_dir.mkdir(parents=True)
+    for i in range(F):
+        mains[i].tofile(str(cache_dir / ("%08d.BIN" % i)))
+        auxes[i].tofile(str(cache_dir / ("%08d.AUX" % i)))
+
+    mf = frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC)
+    assert mf.n_frames_total == F
+    assert np.array_equal(mf.targets_main, mains.reshape(F, 32, 256))
+    assert np.array_equal(mf.targets_aux, auxes.reshape(F, 32, 256))
+
+    # every_n subsampling applies to cached frames too
+    mf2 = frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC,
+                        every_n_video_frames=2)
+    assert mf2.targets_main.shape[0] == 2
+    assert np.array_equal(mf2.targets_main[1], mains[2].reshape(32, 256))
+
+
+def test_reference_cache_roundtrip_hgr(tmp_path):
+    rng = np.random.RandomState(4)
+    mains = rng.randint(0, 256, size=(2, 8192)).astype(np.uint8)
+    cache_dir = tmp_path / "m" / "HGR" / "NTSC"
+    cache_dir.mkdir(parents=True)
+    for i in range(2):
+        mains[i].tofile(str(cache_dir / ("%08dC.BIN" % i)))
+    mf = frames.ingest(str(cache_dir), VideoMode.HGR, Palette.NTSC)
+    assert mf.targets_aux is None
+    assert np.array_equal(mf.targets_main, mains.reshape(2, 32, 256))
+
+
+def test_reference_cache_dir_naming():
+    d = frames.reference_cache_dir("/x/movie.mp4", VideoMode.DHGR,
+                                   Palette.NTSC)
+    assert d == "/x/movie/DHGR/NTSC"

@@ -66,12 +66,13 @@ def test_mixed_batch_keeps_short_audio_movies_frames():
     """Regression: the shared plan must dominate every movie in encoded
     FRAMES too, not just ops - a long-audio/short-video movie must not
     truncate another movie's real frames (fps=1, tps=350: movie A has
-    n_ops=699 but 1 encoded frame; movie B has 500 ops over 2 frames)."""
+    n_ops=699 over 2 frames; movie B has 500 ops but its second frame
+    arrives at tick 350, so both must be schedulable)."""
     mode = VideoMode.DHGR
     dist = get_dist(mode)
-    a_main, a_aux = random_targets(1, seed=70)
+    a_main, a_aux = random_targets(2, seed=70)
     b_main, b_aux = random_targets(4, seed=71)
-    movies = [(a_main, a_aux, 1, 1398), (b_main, b_aux, 4, 500)]
+    movies = [(a_main, a_aux, 2, 1398), (b_main, b_aux, 4, 500)]
     flats, plan_max, n_ops = pmesh.encode_movies_mixed(
         dist, movies, mode, input_frame_rate=1.0, ticks_per_second=350.0,
         every_n_video_frames=1, k=8)
@@ -141,3 +142,39 @@ def test_sharded_batch_encode_on_virtual_mesh():
     assert np.array_equal(pmesh.fetch_ops(ops_shard, plan),
                           pmesh.fetch_ops(ops_plain, plan))
     assert np.array_equal(np.asarray(m_shard), np.asarray(m_plain))
+
+
+def test_batched_device_ingest_matches_host_path():
+    """ingest_movies_batch (fused device resize+quantize+pack+lanes) must
+    equal the host ingest path on pre-resized frames (no resize rounding)."""
+    from iivision_tpu import frames as frames_mod
+
+    rng = np.random.RandomState(11)
+    B, F = 3, 4
+    rgb = rng.randint(0, 256, size=(B, F, 192, 140, 3)).astype(np.uint8)
+
+    lanes_b, bytes_b = pmesh.ingest_movies_batch(
+        rgb, VideoMode.DHGR, Palette.NTSC)
+    lanes_b, bytes_b = np.asarray(lanes_b), np.asarray(bytes_b)
+
+    for i in range(B):
+        mf = frames_mod.ingest(rgb[i], VideoMode.DHGR, Palette.NTSC)
+        lanes, bytes_ = encoder.prepare_targets(
+            mf.targets_main, mf.targets_aux, VideoMode.DHGR)
+        assert np.array_equal(lanes_b[i], np.asarray(lanes)), i
+        assert np.array_equal(bytes_b[i], np.asarray(bytes_)), i
+
+
+def test_batched_device_ingest_resizes():
+    rng = np.random.RandomState(12)
+    rgb = rng.randint(0, 256, size=(2, 3, 240, 320, 3)).astype(np.uint8)
+    lanes_b, bytes_b = pmesh.ingest_movies_batch(
+        rgb, VideoMode.HGR, Palette.NTSC)
+    assert np.asarray(lanes_b).shape == (2, 3, 32, 128, 2)
+    assert np.asarray(bytes_b).shape == (2, 3, 2, 32, 256)
+
+    mesh = pmesh.make_mesh()
+    lanes_s, bytes_s = pmesh.ingest_movies_batch(
+        rgb[:1].repeat(len(mesh.devices), 0), VideoMode.HGR, Palette.NTSC,
+        mesh=mesh)
+    assert np.array_equal(np.asarray(lanes_s)[0], np.asarray(lanes_b)[0])

@@ -81,3 +81,56 @@ def test_quality_end_to_end_converged():
     got_rgb = render.screen_to_rgb(m.final_main, m.final_aux, mode,
                                    Palette.NTSC)
     assert render.psnr(got_rgb, tgt_rgb) > 30.0
+
+
+def test_replay_ops_matches_scalar_oracle():
+    """The vectorized last-write-wins replay must equal a per-op scalar
+    replay (guards the ordered duplicate-index scatter)."""
+    from iivision_tpu import quality
+
+    rng = np.random.RandomState(7)
+    n = 500
+    flat = np.zeros((n, 6), np.int64)
+    flat[:, 0] = rng.randint(32, 64, n)
+    flat[:, 1] = rng.randint(0, 128, n)
+    flat[:, 2:6] = rng.randint(0, 256, (n, 4))
+    op_bank = rng.randint(0, 2, n)
+    boundaries = np.sort(rng.choice(n, 5, replace=False))
+    boundaries[-1] = n - 1
+
+    states = quality.replay_ops(flat, op_bank, boundaries)
+
+    mem = np.zeros((2, 32, 256), np.uint8)
+    pos = 0
+    for i, b in enumerate(boundaries):
+        while pos <= b:
+            page, content = int(flat[pos, 0]) - 32, int(flat[pos, 1])
+            for o in flat[pos, 2:6]:
+                mem[op_bank[pos], page, int(o)] = content
+            pos += 1
+        assert np.array_equal(states[i], mem), i
+
+
+def test_score_screens_chunking_consistent():
+    """Scoring must be invariant to the chunk padding (odd batch sizes)."""
+    from iivision_tpu import encoder, quality
+    from iivision_tpu.ops import distance as dist_mod
+
+    mode = VideoMode.DHGR
+    rng = np.random.RandomState(1)
+    F = quality.SCORE_CHUNK + 3  # force a padded tail chunk
+    states = rng.randint(0, 128, size=(F, 2, 32, 256)).astype(np.uint8)
+    tmain = rng.randint(0, 128, size=(F, 32, 256)).astype(np.uint8)
+    taux = rng.randint(0, 128, size=(F, 32, 256)).astype(np.uint8)
+    lanes_tgt, _ = encoder.prepare_targets(tmain, taux, mode)
+    sub = dist_mod.sub16(Palette.NTSC)
+
+    full = quality.score_screens(states, np.asarray(lanes_tgt), mode, sub)
+    head = quality.score_screens(states[:5], np.asarray(lanes_tgt)[:5],
+                                 mode, sub)
+    assert np.allclose(full[:5], head)
+    # identical screen and target lanes -> zero error
+    cur_lanes = np.asarray(
+        encoder.prepare_targets(states[:2, 0], states[:2, 1], mode)[0])
+    zero = quality.score_screens(states[:2], cur_lanes, mode, sub)
+    assert np.allclose(zero, 0.0)

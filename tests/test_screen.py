@@ -3,7 +3,6 @@ oracle (the reference's documented uint64 layout, reference transcoder/
 screen.py:550-1007), address maps, masked updates, HGR dot expansion."""
 
 import numpy as np
-import pytest
 
 from iivision_tpu import screen
 from iivision_tpu.screen import DHGR, HGR
@@ -68,21 +67,6 @@ def test_screen_holes():
     # last 8 bytes of each 128-block are holes ($2078-$207F etc.)
     assert screen.SCREEN_HOLES[0, 120]
     assert screen.SCREEN_HOLES[0, 127]
-
-
-def test_memory_map_roundtrip():
-    main, _ = random_screens()
-    mm = screen.MemoryMap(1, main.copy())
-    flat = mm.to_flat_memory_map()
-    assert np.array_equal(flat.data, main.reshape(8192))
-    assert np.array_equal(flat.to_memory_map().page_offset, main)
-    mm.write(32, 5, 0xAB)
-    assert mm.page_offset[0, 5] == 0xAB
-    flat2 = screen.FlatMemoryMap(1)
-    flat2.write(8192, 0x42)
-    assert flat2.data[0] == 0x42
-    with pytest.raises(ValueError):
-        flat2.write(4096, 1)
 
 
 # --- DHGR lanes ---------------------------------------------------------------
