@@ -156,6 +156,21 @@ def main():
     t_tables = time.time() - t0
     del tables
 
+    # HGR LUT artifact gen at full scale: 2 lanes x 2^14 x 2^14 pairs,
+    # 1 GiB raw uint16 (reference screen.py:617) - the case the reference's
+    # 90-minute run struggles with most
+    t0 = time.time()
+    tables_hgr = editdist.build_tables(VideoMode.HGR, Palette.NTSC)
+    tables_hgr.block_until_ready()
+    t_tables_hgr = time.time() - t0
+    del tables_hgr
+    print(json.dumps({
+        "config": "hgr_tablegen",
+        "tablegen_s": round(t_tables_hgr, 1),
+        "raw_bytes": 2 * (1 << 28),
+        "tablegen_vs_baseline_min": round(90 * 60 / t_tables_hgr, 1),
+    }), flush=True)
+
     rgb = synth_clip(seconds=10.0)
     aud = audio_mod.Audio(data=tone(10.0, 14700), rate=14700, bitrate=14700)
     from iivision_tpu.movie import Movie
@@ -186,6 +201,36 @@ def main():
         "batch_realtime_x": round(B * 10.0 / wall, 2),
         "tablegen_s": round(t_tables, 1),
         "tablegen_vs_baseline_min": round(90 * 60 / t_tables, 1),
+    }), flush=True)
+
+    # HGR batched transcode at scale (same B=10 shape as the DHGR row)
+    mh = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
+               video_mode=VideoMode.HGR, palette=Palette.NTSC, k=32,
+               dist=dists[(VideoMode.HGR, Palette.NTSC)])
+    mh.encode_ops()  # compile + plan
+    lanes_h, bytes_h = encoder.prepare_targets(
+        mh.frames.targets_main, None, VideoMode.HGR)
+    lanes_hb = jnp.broadcast_to(lanes_h, (B,) + lanes_h.shape)
+    bytes_hb = jnp.broadcast_to(bytes_h, (B,) + bytes_h.shape)
+    dh = dists[(VideoMode.HGR, Palette.NTSC)]
+    r = pmesh.encode_movies_batch(dh, lanes_hb, bytes_hb, mh.plan,
+                                  VideoMode.HGR, np.arange(B))
+    jax.tree.map(lambda x: x.block_until_ready(), r)  # compile
+    levels_h = np.asarray(mh.audio.levels())[:mh.plan.n_ops]
+    t0 = time.time()
+    ops_b, _, _ = pmesh.encode_movies_batch(dh, lanes_hb, bytes_hb, mh.plan,
+                                            VideoMode.HGR,
+                                            np.arange(1, B + 1))
+    ops_np = pmesh.fetch_ops(ops_b, mh.plan)
+    streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], mh.plan),
+                                levels_h, VideoMode.HGR) for i in range(B)]
+    wall = time.time() - t0
+    from iivision_tpu.sim import PlayerVM
+    res_h = PlayerVM().decode(streams[-1])
+    assert res_h.ok, res_h.error
+    print(json.dumps({
+        "config": "hgr_batch10",
+        "batch_realtime_x": round(B * 10.0 / wall, 2),
     }), flush=True)
 
     k_sweep(dists)

@@ -10,7 +10,14 @@ from iivision_tpu.video_mode import VideoMode
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Transcode videos to ][-Vision format (TPU-native).")
-    parser.add_argument("input", help="Path to input video file.")
+    parser.add_argument("input",
+                        help="Path to input video file, or a reference "
+                             "bmp2dhr frame-cache directory "
+                             "(<video>/<MODE>/<PALETTE> with "
+                             "%%08d.BIN/.AUX dumps).")
+    parser.add_argument("--frame_rate", type=float, default=None,
+                        help="Override the probed input frame rate "
+                             "(required context for frame-cache dirs).")
     parser.add_argument("--output", default=None,
                         help="Path to output video file.")
     parser.add_argument("--max_output_mb", type=float, default=0,
@@ -66,6 +73,7 @@ def main(args=None):
         dither_mode=args.dither,
         k=args.k,
         seed=args.seed,
+        frame_rate=args.frame_rate,
         chunk_frames=args.chunk_frames,
         colour_model=args.colour_model,
     )

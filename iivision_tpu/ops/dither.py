@@ -70,9 +70,10 @@ def quantize_ordered(rgb, palette: Palette,
 
     lab_pix = _srgb_to_lab_jnp(perturbed)
     lab_pal = jnp.asarray(_palette_lab(palette), dtype=jnp.float32)
-    d = jnp.sum(
-        (lab_pix[..., None, :] - lab_pal[None, :, :]) ** 2, axis=-1)
-    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+    # argmin over |x-p|^2 = argmin over (-2 x.p + |p|^2): one small matmul
+    # instead of a (..., 16, 3) broadcast tensor
+    score = lab_pix @ (-2.0 * lab_pal.T) + jnp.sum(lab_pal ** 2, axis=-1)
+    return jnp.argmin(score, axis=-1).astype(jnp.int32)
 
 
 def _srgb_to_lab_jnp(rgb255):
@@ -107,6 +108,28 @@ def quantize_error_diffusion(rgb: np.ndarray, palette: Palette,
 
 # --- code grid -> screen memory -------------------------------------------------
 
+def rows_to_memory(by):
+    """(..., 192, 40) screen-byte rows -> (..., 32, 256) memory map.
+
+    The HGR address interleave (addr = y0*1024 + y1*128 + y2*40 + x for
+    y = y2*64 + y1*8 + y0, reference screen.py:16-30) is a pure axis
+    permutation plus the 8 hole bytes that pad each 120-byte half-page to
+    128: page = y0*4 + (y1>>1), offset = (y1&1)*128 + y2*40 + x.  So the
+    scatter the layout suggests is really transpose + pad + reshape -
+    fusable, scatter-free XLA (scatters were ~5ms/frame on TPU and
+    dominated batched ingest).
+    """
+    xp = screen._xp(by)
+    lead = by.shape[:-2]
+    a = by.reshape(lead + (3, 4, 2, 8, 40))  # [y2][y1hi][y1lo][y0][x]
+    a = xp.moveaxis(a, (-2, -4, -3, -5, -1), (-5, -4, -3, -2, -1))
+    # -> [y0][y1hi][y1lo][y2][x]; flatten (y2, x) to the 120 data bytes
+    a = a.reshape(lead + (8, 4, 2, 120))
+    pad = xp.zeros(lead + (8, 4, 2, 8), dtype=by.dtype)  # screen holes
+    a = xp.concatenate([a, pad], axis=-1)  # (..., 8, 4, 2, 128)
+    return a.reshape(lead + (32, 256))
+
+
 def dhgr_codes_to_memory(codes):
     """(..., 192, 140) colour codes -> (main, aux) (..., 32, 256) uint8.
 
@@ -125,29 +148,7 @@ def dhgr_codes_to_memory(codes):
     by = (groups * weights).sum(axis=-1).astype(xp.uint8)  # (...,192,80)
     aux_cols = by[..., 0::2]  # (..., 192, 40)
     main_cols = by[..., 1::2]
-
-    page = screen.X_Y_TO_PAGE.astype(np.int32)  # (192, 40)
-    offset = screen.X_Y_TO_OFFSET.astype(np.int32)
-    flat_idx = xp.asarray(page * 256 + offset)  # (192, 40)
-
-    def scatter(cols):
-        out_shape = cols.shape[:-2] + (32 * 256,)
-        if xp is np:
-            out = np.zeros(out_shape, dtype=np.uint8)
-            np.put_along_axis(
-                out.reshape(out_shape),
-                np.broadcast_to(flat_idx.reshape(-1), cols.shape[:-2]
-                                + (192 * 40,)),
-                cols.reshape(cols.shape[:-2] + (192 * 40,)), axis=-1)
-            return out.reshape(cols.shape[:-2] + (32, 256))
-        import jax.numpy as jnp
-        out = jnp.zeros(out_shape, dtype=jnp.uint8)
-        idx = flat_idx.reshape(-1)
-        vals = cols.reshape(cols.shape[:-2] + (192 * 40,))
-        out = out.at[..., idx].set(vals)
-        return out.reshape(cols.shape[:-2] + (32, 256))
-
-    return scatter(main_cols), scatter(aux_cols)
+    return rows_to_memory(main_cols), rows_to_memory(aux_cols)
 
 
 def hgr_desired_dots(codes):
@@ -206,20 +207,7 @@ def hgr_dots_to_bytes(dots):
 
 def hgr_bytes_to_memory(by):
     """(..., 192, 40) screen bytes -> (..., 32, 256) main memory map."""
-    xp = screen._xp(by)
-    page = screen.X_Y_TO_PAGE.astype(np.int32)
-    offset = screen.X_Y_TO_OFFSET.astype(np.int32)
-    flat_idx = (page * 256 + offset).reshape(-1)
-    vals = by.reshape(by.shape[:-2] + (192 * 40,))
-    if xp is np:
-        out = np.zeros(by.shape[:-2] + (32 * 256,), dtype=np.uint8)
-        np.put_along_axis(
-            out, np.broadcast_to(flat_idx, vals.shape), vals, axis=-1)
-        return out.reshape(by.shape[:-2] + (32, 256))
-    import jax.numpy as jnp
-    out = jnp.zeros(by.shape[:-2] + (32 * 256,), dtype=jnp.uint8)
-    out = out.at[..., jnp.asarray(flat_idx)].set(vals)
-    return out.reshape(by.shape[:-2] + (32, 256))
+    return rows_to_memory(by)
 
 
 def quantize_hgr(rgb, palette: Palette):
@@ -236,8 +224,8 @@ def quantize_hgr(rgb, palette: Palette):
         rgb.astype(jnp.float32) + (tiled[..., None] - 0.5) * 24.0, 0, 255)
     lab_pix = _srgb_to_lab_jnp(pert)
     pal6 = lab_pal[jnp.asarray(hgr_codes)]
-    dist = jnp.sum((lab_pix[..., None, :] - pal6[None, :, :]) ** 2, axis=-1)
-    codes = jnp.asarray(hgr_codes)[jnp.argmin(dist, axis=-1)]
+    score = lab_pix @ (-2.0 * pal6.T) + jnp.sum(pal6 ** 2, axis=-1)
+    codes = jnp.asarray(hgr_codes)[jnp.argmin(score, axis=-1)]
     dots = hgr_desired_dots(codes)
     return hgr_bytes_to_memory(hgr_dots_to_bytes(dots))
 

@@ -136,6 +136,26 @@ def diagonal_dp_scalar(a, b, sub: np.ndarray) -> float:
 
 
 # --- XLA batched diagonal DP ---------------------------------------------------
+#
+# Second reduction (on top of the diagonal one): under swap eligibility
+# (a[k] == b[k-1] and a[k-1] == b[k]) the two substitutions a transposition
+# replaces cost sub[k-1] + sub[k] = C[a[k-1], b[k-1]] + C[a[k], b[k]]
+#                                 = 2 * C[a[k-1], a[k]]     (C symmetric),
+# i.e. the replaced cost depends ONLY on the A string.  So
+#
+#   D = sum_k C[a[k], b[k]]                       <- ONE (M,16L)@(16L,N) matmul
+#     + min over non-overlapping eligible swaps of sum (T - 2*C[a[k-1],a[k]])
+#
+# and the min is a max-savings independent-set scan whose per-position
+# saving matrix is a single pair-code one-hot matmul with the A-side
+# one-hot pre-scaled by the (clamped) saving:
+#
+#   s_k(i,j) = sa_k(i) * [pa_k(i) == pbswap_k(j)],   sa_k <= 0
+#
+# This turns the hot work from 3L K=16 matmuls (2-6% MXU K-utilization)
+# into one K=16L matmul + (L-1) K=256 matmuls, all exact in single-pass
+# bf16 (operands are 0/1 one-hots and integers <= 256).
+
 
 def dp_distance_tile(a_codes, b_codes, sub_f32):
     """Distance matrix for all pairs of pixel strings (pure jax.numpy).
@@ -143,34 +163,50 @@ def dp_distance_tile(a_codes, b_codes, sub_f32):
     Args:
       a_codes: (M, L) int32 colour codes.
       b_codes: (N, L) int32 colour codes.
-      sub_f32: (16, 16) float32 substitution costs.
+      sub_f32: (16, 16) float32 substitution costs (symmetric).
     Returns:
       (M, N) float32 distances (exact integers).
     """
     import jax.numpy as jnp
 
     L = a_codes.shape[-1]
-    eye = jnp.arange(16, dtype=jnp.int32)
+    eye16 = jnp.arange(16, dtype=jnp.int32)
+    eye256 = jnp.arange(256, dtype=jnp.int32)
 
-    def onehot(col):
-        return (col[:, None] == eye[None, :]).astype(jnp.float32)
+    def onehot16(col):
+        return (col[:, None] == eye16[None, :]).astype(jnp.float32)
 
-    big = jnp.float32(1e9)
-    d_m2 = jnp.zeros((a_codes.shape[0], b_codes.shape[0]), jnp.float32)
-    d_m1 = None
-    for k in range(L):
-        ak = onehot(a_codes[:, k])
-        bk = onehot(b_codes[:, k])
-        sub_k = ak @ sub_f32 @ bk.T
-        dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
-        if k >= 1:
-            akm1 = onehot(a_codes[:, k - 1])
-            bkm1 = onehot(b_codes[:, k - 1])
-            swap = (ak @ bkm1.T) * (akm1 @ bk.T)
-            dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST + (1.0 - swap) * big)
-        d_m2 = d_m1 if d_m1 is not None else d_m2
-        d_m1 = dk
-    return d_m1
+    def onehot256(col):
+        return (col[:, None] == eye256[None, :]).astype(jnp.float32)
+
+    # base = sum_k C[a_k, b_k]: one matmul over concatenated one-hots
+    oa = jnp.concatenate([onehot16(a_codes[:, k]) for k in range(L)], axis=1)
+    wb = jnp.concatenate(
+        [sub_f32 @ onehot16(b_codes[:, k]).T for k in range(L)], axis=0)
+    base = oa @ wb  # (M, N)
+    if L < 2:
+        return base
+
+    # per-row clamped savings sa_k = min(T - 2*C[a[k-1], a[k]], 0)
+    ca = jnp.einsum("mki,ij,mkj->mk", onehot16(
+        a_codes[:, :-1].reshape(-1)).reshape(a_codes.shape[0], L - 1, 16),
+        sub_f32,
+        onehot16(a_codes[:, 1:].reshape(-1)).reshape(
+            a_codes.shape[0], L - 1, 16))
+    sa = jnp.minimum(TRANSPOSE_COST - 2.0 * ca, 0.0)  # (M, L-1)
+
+    pa = a_codes[:, :-1] * 16 + a_codes[:, 1:]  # (M, L-1) pair codes
+    pbsw = b_codes[:, 1:] * 16 + b_codes[:, :-1]  # swapped pair codes
+
+    # max-savings independent-set scan over positions k = 1..L-1
+    f_m2 = jnp.zeros((a_codes.shape[0], b_codes.shape[0]), jnp.float32)
+    f_m1 = f_m2
+    for k in range(L - 1):
+        spa = onehot256(pa[:, k]) * sa[:, k][:, None]
+        s_k = spa @ onehot256(pbsw[:, k]).T  # (M, N), <= 0
+        f_k = jnp.minimum(f_m1, f_m2 + s_k)
+        f_m2, f_m1 = f_m1, f_k
+    return base + f_m1
 
 
 def edit_distance_matrix_xla(mode: VideoMode, palette: Palette, lane: int,
@@ -198,38 +234,58 @@ def _editdist_kernel_factory(L: int, tile_m: int, tile_n: int):
     import jax.numpy as jnp
 
     def kernel(a_ref, b_ref, sub_ref, out_ref):
+        # Same base + max-savings-scan reduction as dp_distance_tile, with
+        # all state in VMEM: one K=16L matmul for the substitution sum, one
+        # scaled pair-code one-hot matmul (K=256) per transposition site.
         # One-hot encodings via 2D broadcasted iota (TPU disallows 1D iota).
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 16), 1)
-        iota_n = jax.lax.broadcasted_iota(jnp.int32, (16, tile_n), 0)
+        iota_m16 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 16), 1)
+        iota_n16 = jax.lax.broadcasted_iota(jnp.int32, (16, tile_n), 0)
+        iota_m256 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 256), 1)
+        iota_n256 = jax.lax.broadcasted_iota(jnp.int32, (256, tile_n), 0)
 
-        def onehot_rows(col):  # (tile_m,) -> (tile_m, 16)
-            return (col[:, None] == iota_m).astype(jnp.float32)
+        def onehot_rows(col, iota):  # (tile_m,) -> (tile_m, K)
+            return (col[:, None] == iota).astype(jnp.bfloat16)
 
-        def onehot_cols(col):  # (tile_n,) -> (16, tile_n), pre-transposed
-            return (col[None, :] == iota_n).astype(jnp.float32)
+        def onehot_cols(col, iota):  # (tile_n,) -> (K, tile_n), transposed
+            return (col[None, :] == iota).astype(jnp.bfloat16)
 
-        sub = sub_ref[:]
-        big = jnp.float32(1e9)
-        oh_a = [onehot_rows(a_ref[:, k]) for k in range(L)]
-        oh_bt = [onehot_cols(b_ref[:, k]) for k in range(L)]
-        d_m2 = jnp.zeros((tile_m, tile_n), jnp.float32)
-        d_m1 = None
-        for k in range(L):
-            sub_k = jnp.dot(
-                jnp.dot(oh_a[k], sub, preferred_element_type=jnp.float32),
-                oh_bt[k], preferred_element_type=jnp.float32)
-            dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
-            if k >= 1:
-                swap = (
-                    jnp.dot(oh_a[k], oh_bt[k - 1],
+        sub = sub_ref[:]  # (16, 16) f32, integer values <= ~110
+
+        # base: concatenated one-hots, single K=16L contraction (operands
+        # exact in bf16: 0/1 and integers <= 256; accumulation is f32)
+        oa = jnp.concatenate(
+            [onehot_rows(a_ref[:, k], iota_m16) for k in range(L)], axis=1)
+        wb = jnp.concatenate(
+            [jnp.dot(sub, onehot_cols(b_ref[:, k], iota_n16)
+                     .astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+             for k in range(L)], axis=0)
+        base = jnp.dot(oa, wb.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+
+        if L >= 2:
+            f_m2 = jnp.zeros((tile_m, tile_n), jnp.float32)
+            f_m1 = f_m2
+            for k in range(1, L):
+                # clamped per-row saving sa = min(T - 2*C[a[k-1], a[k]], 0)
+                ca = jnp.sum(
+                    jnp.dot(onehot_rows(a_ref[:, k - 1], iota_m16)
+                            .astype(jnp.float32), sub,
                             preferred_element_type=jnp.float32)
-                    * jnp.dot(oh_a[k - 1], oh_bt[k],
-                              preferred_element_type=jnp.float32))
-                dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST + (1.0 - swap) * big)
-            d_m2 = d_m1 if d_m1 is not None else d_m2
-            d_m1 = dk
+                    * onehot_rows(a_ref[:, k], iota_m16)
+                    .astype(jnp.float32), axis=1)
+                sa = jnp.minimum(TRANSPOSE_COST - 2.0 * ca, 0.0)
+                pa = a_ref[:, k - 1] * 16 + a_ref[:, k]
+                pbsw = b_ref[:, k] * 16 + b_ref[:, k - 1]
+                spa = (onehot_rows(pa, iota_m256).astype(jnp.float32)
+                       * sa[:, None]).astype(jnp.bfloat16)
+                s_k = jnp.dot(spa, onehot_cols(pbsw, iota_n256),
+                              preferred_element_type=jnp.float32)
+                f_k = jnp.minimum(f_m1, f_m2 + s_k)
+                f_m2, f_m1 = f_m1, f_k
+            base = base + f_m1
         # Mosaic has no f32->u16 cast; go through int32 (exact: values < 2^16)
-        out_ref[:] = d_m1.astype(jnp.int32)
+        out_ref[:] = base.astype(jnp.int32)
 
     return kernel
 
