@@ -50,13 +50,11 @@ def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=SRC_W, h=SRC_H, phase=0.0):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def synth_movies_device(B, F, seed, h=SRC_H, w=SRC_W):
-    """(B, F, h, w, 3) uint8 source frames, synthesized on device.
+import functools
 
-    Stands in for the host->device frame feed: per-movie and per-seed phase
-    offsets make every batch distinct (the remote service dedupes identical
-    dispatches).  jit-cached by shape; seed is a traced scalar.
-    """
+
+@functools.lru_cache(None)
+def _synth_movies_jit(B, F, h, w):
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +74,21 @@ def synth_movies_device(B, F, seed, h=SRC_H, w=SRC_W):
             127.5 + 127.5 * jnp.cos(5 * (xx + yy + t) + ph), shape)
         return jnp.stack([r, g, b], axis=-1).astype(jnp.uint8)
 
-    return gen(jnp.float32(seed))
+    return gen
+
+
+def synth_movies_device(B, F, seed, h=SRC_H, w=SRC_W):
+    """(B, F, h, w, 3) uint8 source frames, synthesized on device.
+
+    Stands in for the host->device frame feed: per-movie and per-seed phase
+    offsets make every batch distinct (the remote service dedupes identical
+    dispatches).  The jit is cached per shape - rebuilding it per call cost
+    a full retrace/compile round-trip (~25s over the tunnel) that dwarfed
+    the actual pipeline.
+    """
+    import jax.numpy as jnp
+
+    return _synth_movies_jit(B, F, h, w)(jnp.float32(seed))
 
 
 def main():
@@ -104,6 +116,11 @@ def main():
     tablegen_cold = time.time() - t0
     del tables
     log("DHGR LUT artifact gen (cold, incl compile): %.1fs" % tablegen_cold)
+    t0 = time.time()
+    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
+    tables.block_until_ready()
+    log("DHGR LUT artifact gen (warm): %.2fs" % (time.time() - t0))
+    del tables
 
     # --- single-movie end-to-end (host decode path) -------------------------
     rgb = synth_clip()

@@ -234,58 +234,44 @@ def _editdist_kernel_factory(L: int, tile_m: int, tile_n: int):
     import jax.numpy as jnp
 
     def kernel(a_ref, b_ref, sub_ref, out_ref):
-        # Same base + max-savings-scan reduction as dp_distance_tile, with
-        # all state in VMEM: one K=16L matmul for the substitution sum, one
-        # scaled pair-code one-hot matmul (K=256) per transposition site.
+        # Per-step one-hot sandwich formulation.  (The base+savings
+        # reduction used by dp_distance_tile was also implemented here; it
+        # ran ~15% faster under XLA but its 256-wide one-hot tiles made
+        # Mosaic's compile time blow up past 30 minutes, so the kernel
+        # keeps the form that compiles and runs on chip.)
         # One-hot encodings via 2D broadcasted iota (TPU disallows 1D iota).
-        iota_m16 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 16), 1)
-        iota_n16 = jax.lax.broadcasted_iota(jnp.int32, (16, tile_n), 0)
-        iota_m256 = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 256), 1)
-        iota_n256 = jax.lax.broadcasted_iota(jnp.int32, (256, tile_n), 0)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (tile_m, 16), 1)
+        iota_n = jax.lax.broadcasted_iota(jnp.int32, (16, tile_n), 0)
 
-        def onehot_rows(col, iota):  # (tile_m,) -> (tile_m, K)
-            return (col[:, None] == iota).astype(jnp.bfloat16)
+        def onehot_rows(col):  # (tile_m,) -> (tile_m, 16)
+            return (col[:, None] == iota_m).astype(jnp.float32)
 
-        def onehot_cols(col, iota):  # (tile_n,) -> (K, tile_n), transposed
-            return (col[None, :] == iota).astype(jnp.bfloat16)
+        def onehot_cols(col):  # (tile_n,) -> (16, tile_n), pre-transposed
+            return (col[None, :] == iota_n).astype(jnp.float32)
 
-        sub = sub_ref[:]  # (16, 16) f32, integer values <= ~110
-
-        # base: concatenated one-hots, single K=16L contraction (operands
-        # exact in bf16: 0/1 and integers <= 256; accumulation is f32)
-        oa = jnp.concatenate(
-            [onehot_rows(a_ref[:, k], iota_m16) for k in range(L)], axis=1)
-        wb = jnp.concatenate(
-            [jnp.dot(sub, onehot_cols(b_ref[:, k], iota_n16)
-                     .astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-             for k in range(L)], axis=0)
-        base = jnp.dot(oa, wb.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-
-        if L >= 2:
-            f_m2 = jnp.zeros((tile_m, tile_n), jnp.float32)
-            f_m1 = f_m2
-            for k in range(1, L):
-                # clamped per-row saving sa = min(T - 2*C[a[k-1], a[k]], 0)
-                ca = jnp.sum(
-                    jnp.dot(onehot_rows(a_ref[:, k - 1], iota_m16)
-                            .astype(jnp.float32), sub,
+        sub = sub_ref[:]
+        big = jnp.float32(1e9)
+        oh_a = [onehot_rows(a_ref[:, k]) for k in range(L)]
+        oh_bt = [onehot_cols(b_ref[:, k]) for k in range(L)]
+        d_m2 = jnp.zeros((tile_m, tile_n), jnp.float32)
+        d_m1 = None
+        for k in range(L):
+            sub_k = jnp.dot(
+                jnp.dot(oh_a[k], sub, preferred_element_type=jnp.float32),
+                oh_bt[k], preferred_element_type=jnp.float32)
+            dk = (d_m1 if d_m1 is not None else 0.0) + sub_k
+            if k >= 1:
+                swap = (
+                    jnp.dot(oh_a[k], oh_bt[k - 1],
                             preferred_element_type=jnp.float32)
-                    * onehot_rows(a_ref[:, k], iota_m16)
-                    .astype(jnp.float32), axis=1)
-                sa = jnp.minimum(TRANSPOSE_COST - 2.0 * ca, 0.0)
-                pa = a_ref[:, k - 1] * 16 + a_ref[:, k]
-                pbsw = b_ref[:, k] * 16 + b_ref[:, k - 1]
-                spa = (onehot_rows(pa, iota_m256).astype(jnp.float32)
-                       * sa[:, None]).astype(jnp.bfloat16)
-                s_k = jnp.dot(spa, onehot_cols(pbsw, iota_n256),
-                              preferred_element_type=jnp.float32)
-                f_k = jnp.minimum(f_m1, f_m2 + s_k)
-                f_m2, f_m1 = f_m1, f_k
-            base = base + f_m1
+                    * jnp.dot(oh_a[k - 1], oh_bt[k],
+                              preferred_element_type=jnp.float32))
+                dk = jnp.minimum(dk, d_m2 + TRANSPOSE_COST
+                                 + (1.0 - swap) * big)
+            d_m2 = d_m1 if d_m1 is not None else d_m2
+            d_m1 = dk
         # Mosaic has no f32->u16 cast; go through int32 (exact: values < 2^16)
-        out_ref[:] = base.astype(jnp.int32)
+        out_ref[:] = d_m1.astype(jnp.int32)
 
     return kernel
 
@@ -369,9 +355,13 @@ def build_tables(mode: VideoMode, palette: Palette,
     import jax.numpy as jnp
 
     if backend == "auto":
-        # The blocked XLA formulation outperforms the current Pallas kernel
-        # (~1.4s vs ~14s per DHGR lane on v5e) and matches it bit-for-bit;
-        # both paths stay available.
+        # Measured on v5e (warm jits, whole lane per timing): the blocked
+        # XLA path runs a full 8192^2 DHGR lane in ~0.13s; the Pallas
+        # kernel - whose per-tile work is dominated by K=16 one-hot
+        # matmuls that Mosaic pads to the 128-lane MXU - takes ~14s/lane,
+        # and its faster base+savings variant does not get through Mosaic
+        # in reasonable compile time.  XLA wins this op shape outright;
+        # the Pallas kernel remains as a bit-identical tested reference.
         backend = "xla"
     spec = screen.spec_for_mode(mode)
     mats = []

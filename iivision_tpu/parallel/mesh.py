@@ -45,23 +45,30 @@ def replicate(x, mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
+INGEST_CHUNK = 256  # frames per fully-parallel ingest step
+
+
 @functools.lru_cache(None)
 def _jitted_batch_ingest(mode: VideoMode, palette):
     """Jitted (B, F, H, W, 3) uint8 RGB -> (lanes_b, bytes_b) targets.
 
     Fuses the whole ingestion stage on device: Lanczos resize (two MXU
     matmuls, ops/resize.py), ordered-dither quantization, screen-memory
-    packing and masked-lane derivation.  Mapped per movie (lax.map over the
-    batch axis) so the per-pixel palette-distance buffers stay bounded by
-    one movie's frame count, not B times that.
+    packing and masked-lane derivation.  Movies are flattened to one frame
+    axis and processed in fully-parallel chunks of INGEST_CHUNK frames
+    (lax.map over chunks), which bounds the per-pixel palette-score
+    buffers (~450MB/chunk) without serializing per movie - mapping over
+    the movie axis instead was measured 8x slower (each map step too small
+    to fill the chip).
     """
     import jax
+    import jax.numpy as jnp
 
     from iivision_tpu import frames as frames_mod
     from iivision_tpu.ops import dither as dither_mod
     from iivision_tpu.ops import resize as resize_mod
 
-    def one_movie(rgb):  # (F, H, W, 3) uint8
+    def one_chunk(rgb):  # (C, H, W, 3) uint8
         if rgb.shape[1:3] != (frames_mod.TARGET_H, frames_mod.TARGET_W):
             rgb = resize_mod.resize_batch(
                 rgb, frames_mod.TARGET_H, frames_mod.TARGET_W)
@@ -73,7 +80,18 @@ def _jitted_batch_ingest(mode: VideoMode, palette):
         return encoder.prepare_targets(main, aux, mode)
 
     def f(rgb_b):  # (B, F, H, W, 3) uint8
-        return jax.lax.map(one_movie, rgb_b)
+        B, F = rgb_b.shape[:2]
+        n = B * F
+        flat = rgb_b.reshape((n,) + rgb_b.shape[2:])
+        pad = (-n) % INGEST_CHUNK
+        if pad:  # zero-pad to a whole chunk; padded outputs sliced away
+            flat = jnp.pad(flat, ((0, pad),) + ((0, 0),) * (flat.ndim - 1))
+        chunks = flat.reshape((-1, INGEST_CHUNK) + flat.shape[1:])
+        lanes_c, bytes_c = jax.lax.map(one_chunk, chunks)
+        lanes = lanes_c.reshape((-1,) + lanes_c.shape[2:])[:n]
+        bytes_ = bytes_c.reshape((-1,) + bytes_c.shape[2:])[:n]
+        return (lanes.reshape((B, F) + lanes.shape[1:]),
+                bytes_.reshape((B, F) + bytes_.shape[1:]))
 
     return jax.jit(f)
 

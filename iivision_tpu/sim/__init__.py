@@ -1,3 +1,10 @@
-"""Playback verification: native player VM + stream validation."""
+"""Playback verification: opcode-ABI VM, 6502 assembler + machine.
+
+- player_vm: fast native .a2m decoder enforcing the stream contract;
+- asm65: cc65-subset assembler for the vendored player source, validated
+  label-for-label against the frozen iivision.dbg;
+- machine65: cycle-accurate 6502 Apple IIe + W5100 executing the assembled
+  player against real streams.
+"""
 
 from iivision_tpu.sim.player_vm import PlayerVM, DecodeResult  # noqa: F401
