@@ -134,3 +134,28 @@ def test_score_screens_chunking_consistent():
         encoder.prepare_targets(states[:2, 0], states[:2, 1], mode)[0])
     zero = quality.score_screens(states[:2], cur_lanes, mode, sub)
     assert np.allclose(zero, 0.0)
+
+
+def test_render_stream_screens_match_vm():
+    """render_stream's light reparse + replay must reproduce the VM's final
+    screen for a real emitted stream."""
+    from iivision_tpu import render_stream
+    from iivision_tpu.sim import PlayerVM
+    from iivision_tpu.stream.framing import StreamFramer
+    from iivision_tpu.stream.opcodes import Header, Tick
+
+    rng = np.random.RandomState(5)
+    f = StreamFramer(VideoMode.DHGR)
+    ops = [Header(VideoMode.DHGR)]
+    for i in range(700):
+        ops.append(Tick(4 + 2 * int(rng.randint(0, 32)),
+                        32 + int(rng.randint(0, 32)),
+                        int(rng.randint(0, 128)),
+                        tuple(int(x) for x in rng.randint(0, 256, 4))))
+    data = b"".join(f.emit_stream(iter(ops)))
+
+    states, vmode = render_stream.stream_screens(data, fps=30.0)
+    assert vmode == VideoMode.DHGR.value
+    vm = PlayerVM().decode(data)
+    assert np.array_equal(states[-1][0], vm.main)
+    assert np.array_equal(states[-1][1], vm.aux)
