@@ -1,0 +1,35 @@
+"""Server loopback test: the streamed bytes must round-trip exactly."""
+
+import socket
+import socketserver
+import threading
+
+import numpy as np
+
+from iivision_tpu import server as server_mod
+
+
+def test_server_streams_file_exactly(tmp_path):
+    payload = np.random.RandomState(0).bytes(300 * 1024)  # spans many chunks
+    path = str(tmp_path / "movie.a2m")
+    with open(path, "wb") as f:
+        f.write(payload)
+
+    srv = socketserver.TCPServer(("127.0.0.1", 0),
+                                 server_mod.build_handler(path))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            chunks = []
+            while True:
+                data = s.recv(65536)
+                if not data:
+                    break
+                chunks.append(data)
+        assert b"".join(chunks) == payload
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
