@@ -139,7 +139,10 @@ def main():
             every_n_video_frames=2,
             video_mode=VideoMode.DHGR,
             palette=Palette.NTSC,
-            k=32,
+            # measured frontier (BENCH notes): k=16,j=4 beats the old
+            # k=32,j=1 on BOTH encode speed and replay error
+            k=16,
+            j=4,
             dist=dist,
         )
 

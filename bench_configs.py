@@ -32,7 +32,7 @@ def tone(seconds, bitrate):
             * 16000).astype(np.float32)
 
 
-def run_config(name, mode, palette, bitrate, silent, dists, k=32,
+def run_config(name, mode, palette, bitrate, silent, dists, k=16,
                seconds=10.0):
     from iivision_tpu import audio as audio_mod, encoder, quality
     from iivision_tpu.movie import Movie
@@ -51,7 +51,8 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=32,
     def build():
         return Movie(frames_source=rgb, audio_source=aud,
                      every_n_video_frames=2, video_mode=mode,
-                     palette=palette, k=k, dist=dists[(mode, palette)])
+                     palette=palette, k=k, j=4,
+                     dist=dists[(mode, palette)])
 
     m = build()
     m.transcode("/tmp/bench_cfg_warm.a2m")  # compile
@@ -93,16 +94,16 @@ def k_sweep(dists):
 
     rgb = synth_clip(seconds=5.0)
     aud = audio_mod.Audio(data=tone(5.0, 14700), rate=14700, bitrate=14700)
-    for k in (1, 8, 32):
+    for k, j in ((1, 1), (8, 1), (32, 1), (16, 4), (16, 8)):
         m = Movie(frames_source=rgb, audio_source=aud,
                   every_n_video_frames=2, video_mode=VideoMode.DHGR,
-                  palette=Palette.NTSC, k=k,
+                  palette=Palette.NTSC, k=k, j=j,
                   dist=dists[(VideoMode.DHGR, Palette.NTSC)])
         flat, _ = m.encode_ops()
         t0 = time.time()
         m2 = Movie(frames_source=rgb, audio_source=aud,
                    every_n_video_frames=2, video_mode=VideoMode.DHGR,
-                   palette=Palette.NTSC, k=k,
+                   palette=Palette.NTSC, k=k, j=j,
                    dist=dists[(VideoMode.DHGR, Palette.NTSC)])
         flat, _ = m2.encode_ops()
         enc_wall = time.time() - t0
@@ -111,7 +112,7 @@ def k_sweep(dists):
         rep = quality.replay_frame_errors(flat, m2.plan, lanes_tgt,
                                           VideoMode.DHGR, m2.dist)
         print(json.dumps({
-            "config": "k_sweep", "k": k,
+            "config": "k_sweep", "k": k, "j": j,
             "encode_realtime_x": round(5.0 / enc_wall, 2),
             "mean_error": round(rep.mean_error, 2),
             "final_error": round(rep.final_error, 2),
@@ -175,7 +176,7 @@ def main():
     aud = audio_mod.Audio(data=tone(10.0, 14700), rate=14700, bitrate=14700)
     from iivision_tpu.movie import Movie
     m = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
-              video_mode=VideoMode.DHGR, palette=Palette.NTSC, k=32,
+              video_mode=VideoMode.DHGR, palette=Palette.NTSC, k=16, j=4,
               dist=dists[(VideoMode.DHGR, Palette.NTSC)])
     m.encode_ops()  # compile + plan
     B = 10
@@ -205,7 +206,7 @@ def main():
 
     # HGR batched transcode at scale (same B=10 shape as the DHGR row)
     mh = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
-               video_mode=VideoMode.HGR, palette=Palette.NTSC, k=32,
+               video_mode=VideoMode.HGR, palette=Palette.NTSC, k=16, j=4,
                dist=dists[(VideoMode.HGR, Palette.NTSC)])
     mh.encode_ops()  # compile + plan
     lanes_h, bytes_h = encoder.prepare_targets(

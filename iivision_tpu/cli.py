@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--k", type=int, default=8,
                         help="Encoder page-parallelism (1 = strict greedy "
                              "order).")
+    parser.add_argument("--j", type=int, default=1,
+                        help="Ops per selected page per scan step "
+                             "(ops/step = k*j; >1 trades a little "
+                             "fidelity for encode speed).")
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
     parser.add_argument("--colour_model", type=str, default="window",
@@ -72,6 +76,7 @@ def main(args=None):
         palette=Palette[args.palette],
         dither_mode=args.dither,
         k=args.k,
+        j=args.j,
         seed=args.seed,
         frame_rate=args.frame_rate,
         chunk_frames=args.chunk_frames,

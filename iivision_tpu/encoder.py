@@ -72,7 +72,8 @@ OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
 class MoviePlan:
     """Static per-step schedule driving the encoder scan (all numpy)."""
     n_ops: int
-    k: int
+    k: int  # pages per step
+    j: int  # ops per page per step (ops/step = k*j)
     step_frame: np.ndarray  # (S,) int32: index into the stacked targets
     step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
     step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
@@ -88,6 +89,7 @@ def plan_movie(
         every_n_video_frames: int,
         mode: VideoMode,
         k: int = 8,
+        j: int = 1,
 ) -> Tuple[MoviePlan, int]:
     """Plan the opcode schedule for a movie (host, pure numpy).
 
@@ -123,19 +125,21 @@ def plan_movie(
     chunk_starts = np.flatnonzero(change)
     chunk_ends = np.append(chunk_starts[1:], n_ops)
 
+    ops_per_step = k * j
     sf, sb, sr, sn = [], [], [], []
     for cs, ce in zip(chunk_starts, chunk_ends):
         length = ce - cs
-        n_steps = -(-length // k)
+        n_steps = -(-length // ops_per_step)
         for s in range(n_steps):
             sf.append(encoded[cs])
             sb.append(bank[cs])
             sr.append(s == 0)
-            sn.append(min(k, length - s * k))
+            sn.append(min(ops_per_step, length - s * ops_per_step))
 
     return MoviePlan(
         n_ops=n_ops,
         k=k,
+        j=j,
         step_frame=np.asarray(sf, dtype=np.int32),
         step_bank=np.asarray(sb, dtype=np.int32),
         step_recompute=np.asarray(sr, dtype=bool),
@@ -170,9 +174,13 @@ def prepare_targets(frames_main: np.ndarray,
 
 # --- the scan -------------------------------------------------------------------
 
-def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
-    """Construct the whole-movie encode function for (mode, K).
+def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
+                       j: int = 1):
+    """Construct the whole-movie encode function for (mode, K, J).
 
+    k = pages selected per step; j = ops emitted per selected page per
+    step (sequential sub-ops on the extracted page rows - each sees the
+    previous sub-ops' updates exactly as consecutive steps would).
     deterministic=True replaces random tie-break nonces with zeros (ties
     resolve to lowest index) - for differential testing vs the host oracle.
     """
@@ -286,76 +294,97 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                           + nonce(0, (32,)) * 255.0)
             _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
             P = (pages[:, None] == iota_k32).astype(jnp.float32)  # (K, 32)
-            has_work = page_max[pages] > 0
-            real = has_work & (iota_k < nvalid)
-            realf = real.astype(jnp.float32)[:, None]
 
-            # one fused page-row extraction for up/dw/target bytes.
+            bank_bytes = jax.lax.dynamic_index_in_dim(
+                state["banks"], bank_c, 0, keepdims=False)
+
+            # one fused page-row extraction for up/dw/target/screen bytes.
             # HIGHEST precision: TPU's default single-pass bf16 matmul
             # rounds the extracted VALUES (priorities exceed bf16's exact
             # integer range), silently changing selections vs the host
             # oracle; with HIGHEST, CPU and TPU streams are bit-identical.
             stacked = jnp.concatenate(
-                [up_b, dw_b, tb], axis=1).astype(jnp.float32)  # (32, 768)
+                [up_b, dw_b, tb, bank_bytes],
+                axis=1).astype(jnp.float32)  # (32, 1024)
             proj = jnp.dot(P, stacked,
                            precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)  # (K, 768)
-            up_p, dw_p, tb_p = (proj[:, :256], proj[:, 256:512],
-                                proj[:, 512:])
+                           preferred_element_type=jnp.float32)  # (K, 1024)
+            up_p, dw_p = proj[:, :256], proj[:, 256:512]
+            tb_p, by_p = proj[:, 512:768], proj[:, 768:]
 
-            # -- best offset per page --------------------------------------
-            off_score = up_p * 256.0 + nonce(1, (k, 256)) * 255.0
-            offset0 = jnp.argmax(off_score, axis=1)  # (K,)
-            off0_oh = (offset0[:, None] == iota_256).astype(jnp.float32)
-            content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
+            # -- j sequential op selections on the extracted page rows ------
+            # each sub-op sees the previous sub-ops' local updates, exactly
+            # as consecutive scan steps would on the same pages
+            op_recs = []
+            pad_content = tb[0, 0]
+            for jj in range(j):
+                has_work = jnp.max(up_p, axis=1) > 0.0
+                real = has_work & (jj * k + iota_k < nvalid)
+                realf = real.astype(jnp.float32)[:, None]
 
-            # -- companions: rank ALL offsets against the LIVE diff ---------
-            # sc rows for each slot's (page, content): contiguous-row
-            # gathers from the bank's cost slab - the same semantics as the
-            # reference's per-op compute_delta_page (video.py:275-301)
-            rows = pages * C + content  # (K,)
-            sc_row = jnp.take(slab, rows, axis=0).astype(
-                jnp.float32)  # (K, 256)
-            # eligible: still-pending offset (up>0 also excludes screen
-            # holes, which never take priority) that the store improves
-            score = dw_p - sc_row
-            elig = (up_p > 0.0) & (score > 0.0) \
-                & (iota_256 != offset0[:, None])
-            s = jnp.where(elig, score, -1.0)
-            oh_sel, off_sel, resid_sel = [], [], []
-            for _ in range(3):  # best three, ties to lowest offset
-                o = jnp.argmax(s, axis=1)
-                oh = (o[:, None] == iota_256).astype(jnp.float32)
-                hit = jnp.sum(s * oh, axis=1) > 0.0
-                hitf = hit.astype(jnp.float32)[:, None]
-                off_sel.append(jnp.where(hit, o, offset0))
-                oh_sel.append(oh * hitf)
-                resid_sel.append(jnp.sum(sc_row * oh, axis=1)
-                                 * hit.astype(jnp.float32))
-                s = jnp.where(oh > 0, -1.0, s)
-            acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]  # disjoint 0/1
-            resid_rows = (oh_sel[0] * resid_sel[0][:, None]
-                          + oh_sel[1] * resid_sel[1][:, None]
-                          + oh_sel[2] * resid_sel[2][:, None])
-            off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
+                off_score = up_p * 256.0 + nonce(1 + jj, (k, 256)) * 255.0
+                offset0 = jnp.argmax(off_score, axis=1)  # (K,)
+                off0_oh = (offset0[:, None] == iota_256).astype(jnp.float32)
+                content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
 
-            # -- state updates as one fused one-hot matmul write ------------
-            umask_rows = (off0_oh + acc_rows) * realf  # 0/1, disjoint
-            back = jnp.concatenate(
-                [umask_rows, resid_rows * realf, off0_oh * realf,
-                 umask_rows * content[:, None].astype(jnp.float32)],
-                axis=1)  # (K, 1024)
+                # companions: rank ALL offsets against the LIVE diff.
+                # sc rows for each slot's (page, content): contiguous-row
+                # gathers from the bank's cost slab - the same semantics as
+                # the reference's per-op compute_delta_page (video.py:275-301)
+                rows = pages * C + content  # (K,)
+                sc_row = jnp.take(slab, rows, axis=0).astype(
+                    jnp.float32)  # (K, 256)
+                # eligible: still-pending offset (up>0 also excludes screen
+                # holes, which never take priority) that the store improves
+                score = dw_p - sc_row
+                elig = (up_p > 0.0) & (score > 0.0) \
+                    & (iota_256 != offset0[:, None])
+                s = jnp.where(elig, score, -1.0)
+                oh_sel, off_sel, resid_sel = [], [], []
+                for _ in range(3):  # best three, ties to lowest offset
+                    o = jnp.argmax(s, axis=1)
+                    oh = (o[:, None] == iota_256).astype(jnp.float32)
+                    hit = jnp.sum(s * oh, axis=1) > 0.0
+                    hitf = hit.astype(jnp.float32)[:, None]
+                    off_sel.append(jnp.where(hit, o, offset0))
+                    oh_sel.append(oh * hitf)
+                    resid_sel.append(jnp.sum(sc_row * oh, axis=1)
+                                     * hit.astype(jnp.float32))
+                    s = jnp.where(oh > 0, -1.0, s)
+                acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]  # disjoint 0/1
+                resid_rows = (oh_sel[0] * resid_sel[0][:, None]
+                              + oh_sel[1] * resid_sel[1][:, None]
+                              + oh_sel[2] * resid_sel[2][:, None])
+                off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
+
+                # local page-row updates (gated so padding sub-ops are
+                # no-ops): primary clears up+dw, companions take residuals,
+                # stored cells take the content byte
+                umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
+                up_p = up_p * (1.0 - umask) + resid_rows * realf
+                dw_p = dw_p * (1.0 - off0_oh * realf)
+                by_p = by_p * (1.0 - umask) \
+                    + umask * content[:, None].astype(jnp.float32)
+
+                all_off = jnp.concatenate(
+                    [offset0[:, None], off3_eff], axis=1)
+                op_recs.append(jnp.concatenate(
+                    [jnp.where(real, pages, 0)[:, None] + 32,
+                     jnp.where(real, content, pad_content)[:, None],
+                     jnp.where(real[:, None], all_off, 0)], axis=1))
+
+            # -- whole-row write-back of the selected pages' final state ----
+            keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1) 0 if selected
+            back = jnp.concatenate([up_p, dw_p, by_p], axis=1)  # (K, 768)
             wr = jnp.dot(P.T, back,
                          precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # (32, 1024)
-            M_up, V_up = wr[:, :256], wr[:, 256:512]
-            M_dw, V_bytes = wr[:, 512:768], wr[:, 768:]
-            Mi = M_up.astype(jnp.int32)
-            new_up_b = up_b * (1 - Mi) + V_up.astype(jnp.int32)
-            new_dw_b = dw_b * (1 - M_dw.astype(jnp.int32))
-            bank_bytes = jax.lax.dynamic_index_in_dim(
-                state["banks"], bank_c, 0, keepdims=False)
-            new_bank_bytes = bank_bytes * (1 - Mi) + V_bytes.astype(jnp.int32)
+                         preferred_element_type=jnp.float32)  # (32, 768)
+            new_up_b = (up_b.astype(jnp.float32) * keep
+                        + wr[:, :256]).astype(jnp.int32)
+            new_dw_b = (dw_b.astype(jnp.float32) * keep
+                        + wr[:, 256:512]).astype(jnp.int32)
+            new_bank_bytes = (bank_bytes.astype(jnp.float32) * keep
+                              + wr[:, 512:]).astype(jnp.int32)
 
             new_state = dict(
                 banks=jax.lax.dynamic_update_index_in_dim(
@@ -367,13 +396,9 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
                 sc=slab,
             )
 
-            # -- emit -------------------------------------------------------
-            pad_content = tb[0, 0]
-            all_off = jnp.concatenate([offset0[:, None], off3_eff], axis=1)
-            op_rec = jnp.concatenate(
-                [jnp.where(real, pages, 0)[:, None] + 32,
-                 jnp.where(real, content, pad_content)[:, None],
-                 jnp.where(real[:, None], all_off, 0)], axis=1)
+            # emit order is sub-op-major: all pages' first ops, then their
+            # second ops, ... (matches the nvalid semantics of plan chunks)
+            op_rec = jnp.concatenate(op_recs, axis=0)  # (K*j, 6)
             return new_state, op_rec.astype(jnp.uint8)
 
         if step_index is None:
@@ -416,15 +441,15 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False):
 
 
 @functools.lru_cache(None)
-def _jitted_encode(mode: VideoMode, k: int, deterministic: bool):
+def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1):
     import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic))
+    return jax.jit(_build_encode_scan(mode, k, deterministic, j))
 
 
 @functools.lru_cache(None)
-def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool):
+def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1):
     import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic).chunk)
+    return jax.jit(_build_encode_scan(mode, k, deterministic, j).chunk)
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
@@ -438,7 +463,8 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_encode(mode, plan.k, seed is None)
+    fn = _jitted_encode(mode, plan.k, seed is None,
+                        getattr(plan, 'j', 1))
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
               lanes_tgt, bytes_tgt,
@@ -483,7 +509,8 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
     F_pad = min(chunk_frames, f_max + 1)
 
-    fn = _jitted_chunk(mode, plan.k, seed is None)
+    fn = _jitted_chunk(mode, plan.k, seed is None,
+                       getattr(plan, 'j', 1))
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -529,7 +556,7 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
 
 
 def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:
-    """(S, K, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only."""
+    """(S, K*J, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only."""
     S, k, _ = ops.shape
     valid = np.arange(k)[None, :] < plan.step_nvalid[:, None]
     flat = np.asarray(ops).reshape(S * k, OP_FIELDS)

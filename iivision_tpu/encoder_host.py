@@ -22,12 +22,13 @@ class HostEncoder:
     """Scalar mirror of the TPU encode scan."""
 
     def __init__(self, mode: VideoMode, dist, k: int = 8,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, j: int = 1):
         self.mode = mode
         self.spec = screen.spec_for_mode(mode)
         self.store_cost = np.asarray(dist.store_cost)
         self.sub = np.asarray(dist.sub, dtype=np.float64)
         self.k = k
+        self.j = j
         self.n_banks = 2 if mode == VideoMode.DHGR else 1
         self.C = distance.n_contents(mode)
         self.banks = np.zeros((self.n_banks, 32, 256), np.int32)
@@ -82,16 +83,20 @@ class HostEncoder:
         page_max = up.max(axis=1)
         score = page_max.astype(np.float32) * 256.0 + self._nonce(32) * 255.0
         pages = np.argsort(-score, kind="stable")[:self.k]
-        nonce_o = self._nonce((self.k, 256))
+        nonce_o = self._nonce((self.j, self.k, 256))
 
         ops = []
-        for slot in range(nvalid):
+        for idx in range(nvalid):
+            # sub-op-major order: all selected pages' first ops, then their
+            # second ops, ... (mirrors the scan's emit order); each sub-op
+            # sees earlier sub-ops' updates on the same page
+            jj, slot = divmod(idx, self.k)
             pg = int(pages[slot])
-            if page_max[pg] <= 0:
+            if up[pg].max() <= 0:
                 ops.append((32, int(tgt_bytes[0, 0]), 0, 0, 0, 0))
                 continue
             off_score = up[pg].astype(np.float32) * 256.0 \
-                + nonce_o[slot] * 255.0
+                + nonce_o[jj, slot] * 255.0
             off0 = int(np.argmax(off_score))
             content = int(tgt_bytes[pg, off0])
 
@@ -123,7 +128,8 @@ class HostEncoder:
 def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
                       seed: Optional[int] = None) -> np.ndarray:
     """Run the full planned movie on host; returns (n_ops, 6) int32."""
-    enc = HostEncoder(mode, dist, k=plan.k, seed=seed)
+    enc = HostEncoder(mode, dist, k=plan.k, seed=seed,
+                      j=getattr(plan, "j", 1))
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
     out = []

@@ -47,6 +47,7 @@ class Movie:
             palette: Palette = Palette.NTSC,
             dither_mode: str = "ordered",
             k: int = 8,
+            j: int = 1,
             seed: int = 0,
             frames_source=None,
             audio_source: Optional[audio_mod.Audio] = None,
@@ -62,6 +63,7 @@ class Movie:
         self.palette = palette
         self.dither_mode = dither_mode
         self.k = k
+        self.j = j
         self.seed = seed
         # segment very long movies so device-resident targets stay bounded
         # in HBM; None = auto (chunk past 1024 encoded frames)
@@ -111,7 +113,7 @@ class Movie:
             input_frame_rate=self.frames.input_frame_rate,
             ticks_per_second=self.audio.sample_rate,
             every_n_video_frames=self.every_n_video_frames,
-            mode=self.video_mode, k=self.k)
+            mode=self.video_mode, k=self.k, j=self.j)
         assert n_enc <= len(self.frames.targets_main), (
             n_enc, len(self.frames.targets_main))
         tgt_main = self.frames.targets_main[:max(n_enc, 1)]

@@ -109,10 +109,11 @@ def ingest_movies_batch(rgb_b, mode: VideoMode, palette, mesh=None):
 
 
 @functools.lru_cache(None)
-def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool):
+def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool,
+                         j: int = 1):
     import jax
 
-    scan = encoder._build_encode_scan(mode, k, deterministic)
+    scan = encoder._build_encode_scan(mode, k, deterministic, j)
     batched = jax.vmap(
         scan, in_axes=(None, None, 0, 0, None, None, None, None, 0))
 
@@ -141,7 +142,8 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_batch_encode(mode, plan.k, False)
+    fn = _jitted_batch_encode(mode, plan.k, False,
+                              getattr(plan, 'j', 1))
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -238,9 +240,10 @@ def fetch_ops(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
         shape = ops_dev.shape
         flat = np.asarray(_jitted_flatten()(ops_dev))
         return flat.reshape(shape)
-    flat = np.asarray(ops_dev)  # (B, S*K*6) from encode_movies_batch
-    s = flat.shape[-1] // (plan.k * encoder.OP_FIELDS)
-    return flat.reshape(flat.shape[:-1] + (s, plan.k, encoder.OP_FIELDS))
+    flat = np.asarray(ops_dev)  # (B, S*K*J*6) from encode_movies_batch
+    kj = plan.k * getattr(plan, "j", 1)
+    s = flat.shape[-1] // (kj * encoder.OP_FIELDS)
+    return flat.reshape(flat.shape[:-1] + (s, kj, encoder.OP_FIELDS))
 
 
 @functools.lru_cache(None)

@@ -78,18 +78,20 @@ def test_plan_audio_limits_length():
 
 # --- differential: host oracle vs XLA scan --------------------------------------
 
-@pytest.mark.parametrize("mode,k", [
-    (VideoMode.DHGR, 1),
-    (VideoMode.DHGR, 8),
-    (VideoMode.HGR, 4),
+@pytest.mark.parametrize("mode,k,j", [
+    (VideoMode.DHGR, 1, 1),
+    (VideoMode.DHGR, 8, 1),
+    (VideoMode.DHGR, 4, 2),  # multi-op-per-page mode
+    (VideoMode.HGR, 4, 1),
+    (VideoMode.HGR, 4, 3),
 ])
-def test_host_vs_scan_differential(mode, k):
+def test_host_vs_scan_differential(mode, k, j):
     dist = get_dist(mode)
     fmain, faux = random_frames(mode, n_frames=2, seed=3)
     plan, n_enc = encoder.plan_movie(
         n_frames=2, n_audio_ticks=700, input_frame_rate=2100.0 / 700 * 2,
         ticks_per_second=2100.0 * 2 / 700 * 350,  # => 350 ticks per frame
-        every_n_video_frames=1, mode=mode, k=k)
+        every_n_video_frames=1, mode=mode, k=k, j=j)
     assert n_enc == 2
 
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
@@ -108,7 +110,7 @@ def test_host_vs_scan_differential(mode, k):
             tpu_ops[mismatch[:3]], host_ops[mismatch[:3]]))
 
     # final screen state matches the host too
-    henc = encoder_host.HostEncoder(mode, dist, k=k, seed=None)
+    henc = encoder_host.HostEncoder(mode, dist, k=k, seed=None, j=j)
     lanes_np, bytes_np = np.asarray(lanes_tgt), np.asarray(bytes_tgt)
     for s in range(len(plan.step_frame)):
         f = int(plan.step_frame[s])
