@@ -213,6 +213,7 @@ def main(argv=None):
     ap.add_argument("--mode", default="DHGR", choices=["DHGR", "HGR"])
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--j", type=int, default=1)
     ap.add_argument("--every_n", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/iiv_ab")
     ap.add_argument("--report", default=os.path.join(REPO, "AB_REPORT.md"))
@@ -235,7 +236,7 @@ def main(argv=None):
     plan, n_enc = encoder.plan_movie(
         n_frames=mf.n_frames_total, n_audio_ticks=10 ** 9,
         input_frame_rate=fps, ticks_per_second=tps,
-        every_n_video_frames=args.every_n, mode=mode, k=args.k)
+        every_n_video_frames=args.every_n, mode=mode, k=args.k, j=args.j)
     tgt_main = mf.targets_main[:n_enc]
     tgt_aux = None if mf.targets_aux is None else mf.targets_aux[:n_enc]
     lanes_tgt, bytes_tgt = encoder.prepare_targets(tgt_main, tgt_aux, mode)
@@ -277,6 +278,7 @@ def main(argv=None):
     movie_seconds = plan.n_ops / tps
     summary = {
         "mode": args.mode,
+        "k": args.k, "j": args.j,
         "n_ops": int(plan.n_ops),
         "movie_seconds": round(movie_seconds, 2),
         "ours_mean_error": round(rep_ours.mean_error, 4),
@@ -291,8 +293,8 @@ def main(argv=None):
     }
 
     with open(args.report, "a") as f:
-        f.write("\n## %s A/B (%.1fs clip, k=%d, every_n=%d) — %s\n\n"
-                % (args.mode, movie_seconds, args.k, args.every_n,
+        f.write("\n## %s A/B (%.1fs clip, k=%d, j=%d, every_n=%d) — %s\n\n"
+                % (args.mode, movie_seconds, args.k, args.j, args.every_n,
                    time.strftime("%Y-%m-%d %H:%M")))
         f.write("Same quantized targets, same tick/bank schedule, same %d-op"
                 " budget; scored by replaying both streams and measuring the"
@@ -303,9 +305,9 @@ def main(argv=None):
         f.write("|---|---|---|---|\n")
         f.write("| reference greedy (numpy+heapq) | %.4f | %.4f | %.1fs |\n"
                 % (rep_ref.mean_error, rep_ref.final_error, ref_s))
-        f.write("| ours (TPU scan, k=%d) | %.4f | %.4f | %.1fs |\n"
-                % (args.k, rep_ours.mean_error, rep_ours.final_error,
-                   ours_s))
+        f.write("| ours (TPU scan, k=%d, j=%d) | %.4f | %.4f | %.1fs |\n"
+                % (args.k, args.j, rep_ours.mean_error,
+                   rep_ours.final_error, ours_s))
         f.write("\nfidelity ratio (ref/ours mean error, >1 = ours better):"
                 " **%.3f**; encode speedup: **%.1fx**\n"
                 % (summary["fidelity_ratio_mean"], summary["speedup"]))
