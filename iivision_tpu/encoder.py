@@ -50,6 +50,12 @@ weights refresh at chunk starts rather than per op; and all 3 companion
 slots carry real offsets (the reference stops at 2 companions and pads
 the 4th slot with the primary offset, video.py:180-185 — a duplicate
 store that wastes a quarter of the opcode's video bandwidth).
+
+Parallel-selection knobs: each scan step selects K pages by priority and
+emits J sequential sub-ops per page (K*J opcodes/step).  K=1, J=1 is the
+strict greedy order; measured on-chip, K=16/J=4 both encodes faster AND
+scores lower replay error than K=32/J=1 (concentrating ops on the
+busiest pages approximates the greedy order more closely).
 """
 
 import functools

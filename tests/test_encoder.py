@@ -161,12 +161,13 @@ def test_scan_converges_on_constant_frame():
     assert np.all(tail[:, 2:] == 0)
 
 
-@pytest.mark.parametrize("mode,seed,chunk", [
-    (VideoMode.DHGR, None, 2),
-    (VideoMode.DHGR, 7, 3),
-    (VideoMode.HGR, 7, 2),
+@pytest.mark.parametrize("mode,seed,chunk,j", [
+    (VideoMode.DHGR, None, 2, 1),
+    (VideoMode.DHGR, 7, 3, 1),
+    (VideoMode.DHGR, 7, 2, 4),  # multi-op mode through the chunked path
+    (VideoMode.HGR, 7, 2, 1),
 ])
-def test_chunked_matches_unchunked(mode, seed, chunk):
+def test_chunked_matches_unchunked(mode, seed, chunk, j):
     """Single-pass chunked encode is bit-identical to the unchunked scan:
     nonces fold absolute step indices and each segment's first frame ranks
     candidates against the previous segment's last target."""
@@ -175,7 +176,8 @@ def test_chunked_matches_unchunked(mode, seed, chunk):
     fmain, faux = random_frames(mode, n_frames=n_frames, seed=11)
     plan, n_enc = encoder.plan_movie(
         n_frames=n_frames, n_audio_ticks=2400, input_frame_rate=36.0,
-        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8,
+        j=j)
     assert n_enc == n_frames
 
     lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
