@@ -41,10 +41,12 @@ def _install_shims():
     encoder with a stub grabber, never touching file decode.
     """
     # the reference targets numpy 1.x (requirements.txt pins 1.22); restore
-    # the aliases numpy 2 removed so its modules import unmodified
-    for name, val in [("bool8", np.bool_), ("int", int), ("float", float),
-                      ("object", object), ("str", str)]:
-        if not hasattr(np, name):
+    # the two removed aliases its modules actually use (screen.py np.bool8,
+    # audio.py np.int)
+    for name, val in [("bool8", np.bool_), ("int", int)]:
+        try:
+            getattr(np, name)
+        except AttributeError:
             setattr(np, name, val)
     if "colormath" not in sys.modules:
         colormath = types.ModuleType("colormath")

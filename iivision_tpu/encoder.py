@@ -464,13 +464,12 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
 
     dist: a distance.ComputedDistance for (mode, palette).
     seed=None disables random tie-breaks (deterministic; for testing).
-    Returns (ops (S, K, 6) uint8, final main (32,256), final aux).
+    Returns (ops (S, K*J, 6) uint8, final main (32,256), final aux).
     """
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_encode(mode, plan.k, seed is None,
-                        getattr(plan, 'j', 1))
+    fn = _jitted_encode(mode, plan.k, seed is None, plan.j)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
               lanes_tgt, bytes_tgt,
@@ -495,7 +494,8 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     step that rebuilds diff + cost slab from the carried screen state.
 
     frames_main/frames_aux: (F, 32, 256) uint8 target banks (aux None for
-    HGR).  Returns (ops (S_total, K, 6) uint8 numpy, final main, final aux).
+    HGR).  Returns (ops (S_total, K*J, 6) uint8 numpy, final main, final
+aux).
     """
     import jax
     import jax.numpy as jnp
@@ -515,8 +515,7 @@ def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
     S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
     F_pad = min(chunk_frames, f_max + 1)
 
-    fn = _jitted_chunk(mode, plan.k, seed is None,
-                       getattr(plan, 'j', 1))
+    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)

@@ -128,8 +128,7 @@ class HostEncoder:
 def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
                       seed: Optional[int] = None) -> np.ndarray:
     """Run the full planned movie on host; returns (n_ops, 6) int32."""
-    enc = HostEncoder(mode, dist, k=plan.k, seed=seed,
-                      j=getattr(plan, "j", 1))
+    enc = HostEncoder(mode, dist, k=plan.k, seed=seed, j=plan.j)
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
     out = []

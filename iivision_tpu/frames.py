@@ -225,29 +225,44 @@ def _source_stamp(path: str) -> str:
     return "%d:%d" % (st.st_size, st.st_mtime_ns)
 
 
-def _decode_worker(frames_iter, every_n: int, out_q: queue.Queue):
+def _decode_worker(frames_iter, every_n: int, out_q: queue.Queue,
+                   stop: threading.Event):
     """Decode thread: batches of resized RGB frames into a bounded queue.
 
     Emits ("batch", resized (B,192,140,3) uint8) items and finally
-    ("done", n_frames_total) or ("error", exc).
+    ("done", n_frames_total) or ("error", exc).  `stop` aborts the worker
+    if the consumer dies, so it never blocks forever on a full queue
+    (leaking the decoder subprocess/handles).
     """
+    def put(item):
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     try:
         batch = []
         n_total = 0
         for idx, frame in enumerate(frames_iter):
+            if stop.is_set():
+                return
             n_total += 1
             if (idx % every_n) != 0:
                 continue
             frame = np.asarray(frame, dtype=np.uint8)
             batch.append(frame)
             if len(batch) == DECODE_BATCH:
-                out_q.put(("batch", _resize_stack(batch)))
+                if not put(("batch", _resize_stack(batch))):
+                    return
                 batch = []
-        if batch:
-            out_q.put(("batch", _resize_stack(batch)))
-        out_q.put(("done", n_total))
+        if batch and not put(("batch", _resize_stack(batch))):
+            return
+        put(("done", n_total))
     except BaseException as e:  # surface decode errors to the consumer
-        out_q.put(("error", e))
+        put(("error", e))
 
 
 def _resize_stack(batch) -> np.ndarray:
@@ -314,21 +329,26 @@ def ingest(source, mode: VideoMode, palette: Palette,
     # bounded queue; quantize batches dispatch asynchronously to the device
     # so decode(i+1) overlaps quantize(i).
     q = queue.Queue(maxsize=QUEUE_BATCHES)
+    stop = threading.Event()
     t = threading.Thread(
-        target=_decode_worker, args=(frames_iter, every_n_video_frames, q),
-        daemon=True)
+        target=_decode_worker,
+        args=(frames_iter, every_n_video_frames, q, stop), daemon=True)
     t.start()
 
     pending = []  # device arrays, fetched after the last dispatch
     n_total = None
-    while True:
-        kind, payload = q.get()
-        if kind == "error":
-            raise payload
-        if kind == "done":
-            n_total = payload
-            break
-        pending.append(_quantize_batch(payload, mode, palette, dither_mode))
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "error":
+                raise payload
+            if kind == "done":
+                n_total = payload
+                break
+            pending.append(
+                _quantize_batch(payload, mode, palette, dither_mode))
+    finally:
+        stop.set()  # unblock + terminate the worker if we errored out
     t.join()
     if not pending:
         raise ValueError("No frames decoded from source")

@@ -68,11 +68,18 @@ def quantize_ordered(rgb, palette: Palette,
     perturbed = rgb.astype(jnp.float32) + (tiled[..., None] - 0.5) * strength
     perturbed = jnp.clip(perturbed, 0.0, 255.0)
 
+    import jax
+
     lab_pix = _srgb_to_lab_jnp(perturbed)
     lab_pal = jnp.asarray(_palette_lab(palette), dtype=jnp.float32)
     # argmin over |x-p|^2 = argmin over (-2 x.p + |p|^2): one small matmul
-    # instead of a (..., 16, 3) broadcast tensor
-    score = lab_pix @ (-2.0 * lab_pal.T) + jnp.sum(lab_pal ** 2, axis=-1)
+    # instead of a (..., 16, 3) broadcast tensor.  HIGHEST precision: the
+    # TPU's default single-pass bf16 matmul adds score noise comparable to
+    # close palette entries' Lab gaps, flipping argmin picks vs CPU
+    # (CLAUDE.md precision rule).
+    score = jnp.matmul(lab_pix, -2.0 * lab_pal.T,
+                       precision=jax.lax.Precision.HIGHEST) \
+        + jnp.sum(lab_pal ** 2, axis=-1)
     return jnp.argmin(score, axis=-1).astype(jnp.int32)
 
 
@@ -222,9 +229,13 @@ def quantize_hgr(rgb, palette: Palette):
     tiled = jnp.tile(bayer, (h // 8 + 1, w // 8 + 1))[:h, :w]
     pert = jnp.clip(
         rgb.astype(jnp.float32) + (tiled[..., None] - 0.5) * 24.0, 0, 255)
+    import jax
+
     lab_pix = _srgb_to_lab_jnp(pert)
     pal6 = lab_pal[jnp.asarray(hgr_codes)]
-    score = lab_pix @ (-2.0 * pal6.T) + jnp.sum(pal6 ** 2, axis=-1)
+    score = jnp.matmul(lab_pix, -2.0 * pal6.T,
+                       precision=jax.lax.Precision.HIGHEST) \
+        + jnp.sum(pal6 ** 2, axis=-1)
     codes = jnp.asarray(hgr_codes)[jnp.argmin(score, axis=-1)]
     dots = hgr_desired_dots(codes)
     return hgr_bytes_to_memory(hgr_dots_to_bytes(dots))

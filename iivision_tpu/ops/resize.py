@@ -84,10 +84,15 @@ def resize_batch(frames, h_out: int, w_out: int):
             out[i] = np.asarray(Image.fromarray(f).resize(
                 (w_out, h_out), Image.LANCZOS))
         return out.reshape(frames.shape[:-3] + (h_out, w_out, -1))
+    import jax
     import jax.numpy as jnp
     ah = jnp.asarray(resize_matrix(h_in, h_out))
     aw = jnp.asarray(resize_matrix(w_in, w_out))
     x = frames.astype(jnp.float32)
-    y = jnp.einsum("oh,...hwc->...owc", ah, x)
-    y = jnp.einsum("pw,...owc->...opc", aw, y)
+    # HIGHEST precision: the filter weights are non-integer, so the TPU's
+    # default single-pass bf16 matmul drifts pixels by up to a uint8 level
+    # vs the CPU/PIL path (CLAUDE.md precision rule)
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,...hwc->...owc", ah, x, precision=hp)
+    y = jnp.einsum("pw,...owc->...opc", aw, y, precision=hp)
     return jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)

@@ -142,8 +142,7 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_batch_encode(mode, plan.k, False,
-                              getattr(plan, 'j', 1))
+    fn = _jitted_batch_encode(mode, plan.k, False, plan.j)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -241,7 +240,7 @@ def fetch_ops(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
         flat = np.asarray(_jitted_flatten()(ops_dev))
         return flat.reshape(shape)
     flat = np.asarray(ops_dev)  # (B, S*K*J*6) from encode_movies_batch
-    kj = plan.k * getattr(plan, "j", 1)
+    kj = plan.k * plan.j
     s = flat.shape[-1] // (kj * encoder.OP_FIELDS)
     return flat.reshape(flat.shape[:-1] + (s, kj, encoder.OP_FIELDS))
 

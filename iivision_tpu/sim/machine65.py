@@ -60,7 +60,8 @@ class RunResult:
         encoded audio levels.
         """
         t = self.tick_cycles
-        return (t[1::2] - t[0::2]).astype(np.int64)
+        n = len(t) & ~1  # an aborted run can end mid-pair
+        return (t[1:n:2] - t[0:n:2]).astype(np.int64)
 
 
 class Apple2Player:
@@ -87,7 +88,10 @@ class Apple2Player:
         main = np.zeros(65536, np.uint8)
         aux = np.zeros(65536, np.uint8)
         main[:] = np.frombuffer(bytes(self.assembly.image), np.uint8)
-        tick_cap = len(stream) // 7 * 2 + 4096
+        # 2 ticks per data op (7 bytes) + 4 per ACK slow path (4-byte
+        # opcode, 2KB cadence) + startup/terminate slack
+        tick_cap = (len(stream) // 7 * 2 + len(stream) // 2048 * 4
+                    + 4096)
         ticks = np.zeros(tick_cap, np.int64)
         counts = np.zeros(9, np.int64)
 
