@@ -221,3 +221,40 @@ def test_movie_end_to_end_on_machine(tmp_path):
     data_duty, _ = split_slow_path_pairs(res.duty_cycles, n_ops)
     lv = np.asarray(m.audio.levels())[:n_ops]
     assert np.array_equal(data_duty, expected_hardware_duty(lv * 2 + 34))
+
+
+def test_verify_stream_cli(tmp_path, capsys):
+    """The verification CLI passes a valid stream (incl. 6502 execution)
+    and fails a corrupted one."""
+    from iivision_tpu import verify_stream
+
+    data, _ = synth_stream(650, VideoMode.DHGR)
+    path = str(tmp_path / "ok.a2m")
+    open(path, "wb").write(data)
+    assert verify_stream.main([path, "--machine"]) == 0
+    out = capsys.readouterr().out
+    assert "6502 screen memory matches" in out
+
+    bad = bytearray(data)
+    bad[2044] ^= 0xFF  # corrupt the first ACK's opcode address
+    badp = str(tmp_path / "bad.a2m")
+    open(badp, "wb").write(bytes(bad))
+    assert verify_stream.main([badp]) == 1
+
+
+def test_asm65_rejects_bad_input():
+    src_dup = """
+    .segment "CODE"
+a = 1
+a = 2
+"""
+    with pytest.raises(asm65.AsmError, match="redefinition"):
+        asm65.Assembler({"CODE": 0x4000}).assemble(src_dup)
+
+    with pytest.raises(asm65.AsmError, match="unknown instruction"):
+        asm65.Assembler({"CODE": 0x4000}).assemble(
+            '    .segment "CODE"\n    FOO #1\n')
+
+    with pytest.raises(asm65.AsmError, match="branch out of range"):
+        asm65.Assembler({"CODE": 0x4000}).assemble(
+            '    .segment "CODE"\nfar = $8000\n    BNE far\n')
