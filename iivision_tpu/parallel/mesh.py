@@ -252,6 +252,43 @@ def _jitted_flatten():
     return jax.jit(lambda o: o.reshape(-1))
 
 
+@functools.lru_cache(None)
+def _jitted_compact(idx_bytes: bytes, n: int):
+    import jax
+    import jax.numpy as jnp
+
+    idx = jnp.asarray(np.frombuffer(idx_bytes, np.int32))
+
+    @jax.jit
+    def f(ops_flat):  # (B, S*K*J*6) uint8
+        o = ops_flat.reshape(ops_flat.shape[0], -1, encoder.OP_FIELDS)
+        return jnp.take(o, idx, axis=1)  # static indices: one fused gather
+
+    return f
+
+
+def fetch_ops_compact(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
+    """Transfer only the VALID ops to host: (B, n_ops, 6) uint8.
+
+    The padding mask is static per plan (step_nvalid), so dropping the
+    ~10-15% padding slots happens on device as one static-index gather
+    before the transfer - the flatten_ops step on host becomes a no-op.
+
+    Measured on the v5e + tunneled host link: the big gather costs MORE
+    than the padding bytes it saves (pipelined batch throughput dropped
+    171x -> 127x), so bench.py uses plain fetch_ops + host flatten_ops.
+    This path exists for deployments where the host link is the scarce
+    resource and the gather overlaps other device work.
+    """
+    kj = plan.k * plan.j
+    valid = (np.arange(kj)[None, :]
+             < plan.step_nvalid[:, None]).reshape(-1)
+    idx = np.flatnonzero(valid).astype(np.int32)
+    assert len(idx) == plan.n_ops
+    fn = _jitted_compact(idx.tobytes(), len(idx))
+    return np.asarray(fn(ops_dev))
+
+
 def build_tables_sharded(mode: VideoMode, palette, mesh,
                          axis: str = "movies"):
     """Edit-distance LUT generation sharded over the mesh (row blocks of the

@@ -178,3 +178,25 @@ def test_batched_device_ingest_resizes():
         rgb[:1].repeat(len(mesh.devices), 0), VideoMode.HGR, Palette.NTSC,
         mesh=mesh)
     assert np.array_equal(np.asarray(lanes_s)[0], np.asarray(lanes_b)[0])
+
+
+def test_fetch_ops_compact_matches_flatten():
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    main, aux = random_targets(2, seed=80)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=700, input_frame_rate=14700.0 / 350,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode,
+        k=4, j=2)
+    lanes, bytes_ = encoder.prepare_targets(main, aux, mode)
+    import jax.numpy as jnp
+    B = 3
+    lanes_b = jnp.broadcast_to(lanes, (B,) + lanes.shape)
+    bytes_b = jnp.broadcast_to(bytes_, (B,) + bytes_.shape)
+    ops_b, _, _ = pmesh.encode_movies_batch(
+        dist, lanes_b, bytes_b, plan, mode, seeds=np.arange(B))
+
+    compact = pmesh.fetch_ops_compact(ops_b, plan)
+    full = pmesh.fetch_ops(ops_b, plan)
+    for i in range(B):
+        assert np.array_equal(compact[i], encoder.flatten_ops(full[i], plan))
