@@ -70,6 +70,10 @@ from iivision_tpu.stream import opcodes as ops_mod
 from iivision_tpu.video_mode import VideoMode
 
 OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
+SCAN_UNROLL = 2  # plan steps per scan body: amortizes the scan's fixed
+# per-iteration overhead (measured on v5e, B=32 DHGR k=16 j=4: 1.64s ->
+# 1.57s at 2, 1.52s at 4; outputs bit-identical at any value; 2 balances
+# the win against compile-time growth of the 2x-larger scan body)
 
 
 # --- host-side movie planning -------------------------------------------------
@@ -411,7 +415,34 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             step_index = jnp.arange(S, dtype=jnp.int32)
         xs = (step_index, step_frame, step_bank,
               step_recompute, step_nvalid)
-        final, ops = jax.lax.scan(step, state0, xs)
+        if SCAN_UNROLL > 1:
+            # amortize the scan's fixed per-step overhead by running
+            # UNROLL sequential plan steps per loop body; padded steps are
+            # exact no-ops (nvalid=0, no recompute), outputs trimmed
+            pad = (-S) % SCAN_UNROLL
+            if pad:
+                def pad_leaf(a, fill=None):
+                    tail = (jnp.zeros((pad,) + a.shape[1:], a.dtype)
+                            if fill is None else
+                            jnp.full((pad,) + a.shape[1:], fill, a.dtype))
+                    return jnp.concatenate([a, tail], axis=0)
+                xs = (pad_leaf(xs[0]), pad_leaf(xs[1]), pad_leaf(xs[2]),
+                      pad_leaf(xs[3], False), pad_leaf(xs[4], 0))
+            xs = jax.tree.map(
+                lambda a: a.reshape((-1, SCAN_UNROLL) + a.shape[1:]), xs)
+
+            def step_u(state, xs_u):
+                recs = []
+                for u in range(SCAN_UNROLL):
+                    state, rec = step(
+                        state, jax.tree.map(lambda a: a[u], xs_u))
+                    recs.append(rec)
+                return state, jnp.stack(recs)
+
+            final, ops = jax.lax.scan(step_u, state0, xs)
+            ops = ops.reshape((-1,) + ops.shape[2:])[:S]
+        else:
+            final, ops = jax.lax.scan(step, state0, xs)
         if return_state:
             return ops, final
         main = final["banks"][0]
