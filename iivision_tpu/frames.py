@@ -299,13 +299,20 @@ def ingest(source, mode: VideoMode, palette: Palette,
     if isinstance(source, np.ndarray):
         frames_iter, rate = iter(source), (frame_rate or 30.0)
     elif os.path.isdir(source):
+        if frame_rate is None:
+            # A cache dir carries no timing metadata: defaulting silently
+            # would produce a stream with wrong audio/video sync.
+            raise ValueError(
+                "Reference frame-cache directories carry no frame-rate "
+                "metadata; pass frame_rate (--frame_rate on the CLI) for %s"
+                % source)
         main, aux, n = load_reference_cache(source, mode)
         sel = slice(None, None, every_n_video_frames)
         return MovieFrames(
             targets_main=main[sel],
             targets_aux=(None if aux is None else aux[sel]),
             n_frames_total=n,
-            input_frame_rate=(frame_rate or 30.0))
+            input_frame_rate=frame_rate)
     else:
         frames_iter, rate = iter_video_frames(source)
         if frame_rate:

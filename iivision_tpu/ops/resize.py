@@ -37,8 +37,10 @@ def resize_taps(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
     """Banded filter taps: (idx (n_out, width) int64, w (n_out, width) f32).
 
     Matches PIL's resample geometry: when downscaling, the kernel is
-    widened by the scale factor (antialiasing); taps outside the image
-    clamp to the nearest edge pixel; weights are normalized per row.
+    widened by the scale factor (antialiasing); taps outside the image are
+    EXCLUDED and the remaining weights renormalized (PIL clips the tap
+    window to the image before weighting, so border rows never borrow
+    weight from clamped edge pixels).
     """
     scale = n_in / n_out
     fscale = max(scale, 1.0)
@@ -49,7 +51,7 @@ def resize_taps(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
     width = int((hi - lo).max())
     taps = lo[:, None] + np.arange(width)[None, :]  # (n_out, width)
     w = _lanczos3((taps + 0.5 - centers[:, None]) / fscale)
-    w = np.where(taps < hi[:, None], w, 0.0)
+    w = np.where((taps < hi[:, None]) & (taps >= 0) & (taps < n_in), w, 0.0)
     w = w / w.sum(axis=1, keepdims=True)
     return np.clip(taps, 0, n_in - 1), w.astype(np.float32)
 

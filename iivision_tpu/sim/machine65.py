@@ -106,6 +106,15 @@ class Apple2Player:
             self.assembly.entry, syms["op_terminate"],
             syms["HGR0"], syms["COUT"], syms["PRODOS"])
         del rc
+        if int(counts[0]) > tick_cap:
+            # The C core keeps counting but stops logging past the cap; a
+            # silently truncated trace would let audio-cadence assertions
+            # pass vacuously.  The cap is derived from the stream size, so
+            # overflow means that estimate (or the stream) is wrong.
+            raise RuntimeError(
+                "speaker tick log overflow: %d ticks > cap %d "
+                "(trace truncated; tick_cap estimate needs widening)"
+                % (int(counts[0]), tick_cap))
         n_ticks = min(int(counts[0]), tick_cap)
         return RunResult(
             exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),

@@ -163,16 +163,21 @@ def test_reference_cache_roundtrip_dhgr(tmp_path):
         mains[i].tofile(str(cache_dir / ("%08d.BIN" % i)))
         auxes[i].tofile(str(cache_dir / ("%08d.AUX" % i)))
 
-    mf = frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC)
+    mf = frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC,
+                       frame_rate=30.0)
     assert mf.n_frames_total == F
     assert np.array_equal(mf.targets_main, mains.reshape(F, 32, 256))
     assert np.array_equal(mf.targets_aux, auxes.reshape(F, 32, 256))
 
     # every_n subsampling applies to cached frames too
     mf2 = frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC,
-                        every_n_video_frames=2)
+                        every_n_video_frames=2, frame_rate=30.0)
     assert mf2.targets_main.shape[0] == 2
     assert np.array_equal(mf2.targets_main[1], mains[2].reshape(32, 256))
+
+    # a cache dir with no frame_rate is a sync bug, not a default
+    with pytest.raises(ValueError, match="frame.rate|frame_rate"):
+        frames.ingest(str(cache_dir), VideoMode.DHGR, Palette.NTSC)
 
 
 def test_reference_cache_roundtrip_hgr(tmp_path):
@@ -182,7 +187,8 @@ def test_reference_cache_roundtrip_hgr(tmp_path):
     cache_dir.mkdir(parents=True)
     for i in range(2):
         mains[i].tofile(str(cache_dir / ("%08dC.BIN" % i)))
-    mf = frames.ingest(str(cache_dir), VideoMode.HGR, Palette.NTSC)
+    mf = frames.ingest(str(cache_dir), VideoMode.HGR, Palette.NTSC,
+                       frame_rate=30.0)
     assert mf.targets_aux is None
     assert np.array_equal(mf.targets_main, mains.reshape(2, 32, 256))
 

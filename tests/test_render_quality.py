@@ -94,7 +94,13 @@ def test_replay_ops_matches_scalar_oracle():
     flat[:, 0] = rng.randint(32, 64, n)
     flat[:, 1] = rng.randint(0, 128, n)
     flat[:, 2:6] = rng.randint(0, 256, (n, 4))
+    # force guaranteed intra-segment overwrites of the same cells (the
+    # vectorized replay relies on numpy fancy assignment being in-order /
+    # last-write-wins for duplicate indices)
+    flat[10:30, 0] = 40
+    flat[10:30, 2:6] = [1, 2, 3, 4]
     op_bank = rng.randint(0, 2, n)
+    op_bank[10:30] = 0
     boundaries = np.sort(rng.choice(n, 5, replace=False))
     boundaries[-1] = n - 1
 
