@@ -23,7 +23,22 @@
 //  - ROM traps: HGR0 screen clear, COUT, ProDOS MLI quit.
 //
 // Exit codes (counts[2]): 0 = clean op_terminate, 1 = ProDOS quit,
-// 2 = max_cycles exceeded, 3 = BRK, 4 = JMP-to-self stall.
+// 2 = max_cycles exceeded, 3 = BRK, 4 = JMP-to-self stall,
+// 5 = undocumented/unimplemented opcode (distinct from BRK so a corrupt
+// stream steering the player into data is distinguishable from an explicit
+// BRK error stop).
+//
+// Instruction set: the full documented-NMOS 6502 plus the 65C02 subset the
+// assembler (sim/asm65.py) accepts (BRA, PHX/PHY/PLX/PLY, STZ) - so any
+// program asm65 can assemble also executes here.
+//
+// Tracing: when trace_cap > 0 every instruction logs (pc, raw bytes,
+// A/X/Y/P/SP, cycle count) into trace_buf - either the FIRST trace_cap
+// instructions (trace_ring=0) or a ring of the LAST trace_cap
+// (trace_ring=1), mirroring the reference simulator's per-instruction
+// disassembly trace (reference simulator/apple2.py:196-204) but queryable
+// after the fact: a parity failure yields the instruction path, not just
+// an exit code.
 
 #include <cstdint>
 #include <cstring>
@@ -232,11 +247,25 @@ struct CPU {
         setZN((uint8_t)d);
     }
 
-    // returns false when execution must stop
-    bool step();
+    // read-modify-write shift helpers (memory forms)
+    uint8_t asl_v(uint8_t v) { p = (p & ~C) | (v >> 7); v <<= 1;
+        setZN(v); return v; }
+    uint8_t lsr_v(uint8_t v) { p = (p & ~C) | (v & 1); v >>= 1;
+        setZN(v); return v; }
+    uint8_t rol_v(uint8_t v) { uint8_t o = (v << 1) | (p & C);
+        p = (p & ~C) | (v >> 7); setZN(o); return o; }
+    uint8_t ror_v(uint8_t v) { uint8_t o = (v >> 1) | ((p & C) << 7);
+        p = (p & ~C) | (v & 1); setZN(o); return o; }
+    void rmw(uint16_t ad, uint8_t (CPU::*f)(uint8_t), int cyc) {
+        m->write(ad, (this->*f)(m->read(ad)));
+        m->cycles += cyc;
+    }
+
+    // returns 0 to continue, else a stop reason: 3 = BRK, 5 = undocumented
+    int step();
 };
 
-bool CPU::step() {
+int CPU::step() {
     uint8_t op = fetch();
     bool cr = false;
     uint16_t ad;
@@ -365,7 +394,7 @@ bool CPU::step() {
         case 0xB8: p &= ~V; m->cycles += 2; break;
         // control flow
         case 0x4C: { uint16_t dst = fetch16(); m->cycles += 3;
-            if (dst == (uint16_t)(pc - 3)) return false;  // JMP self: stall
+            if (dst == (uint16_t)(pc - 3)) return 4;  // JMP self: stall
             pc = dst; break; }
         case 0x6C: { uint16_t ptr = fetch16();
             pc = m->read(ptr) | (m->read(ptr + 1) << 8);
@@ -383,11 +412,82 @@ bool CPU::step() {
         case 0xD0: branch(!(p & Z)); break;
         case 0xF0: branch(p & Z); break;
         case 0xEA: m->cycles += 2; break;
-        case 0x00: return false;  // BRK: error stop
+        case 0x40:  // RTI
+            p = (pop() & ~B) | 0x20;
+            { uint16_t lo = pop(); pc = lo | (pop() << 8); }
+            m->cycles += 6; break;
+        // remaining documented-NMOS arithmetic/logic forms
+        case 0x61: adc(m->read(indx())); m->cycles += 6; break;
+        case 0x71: adc(m->read(indy(&cr))); m->cycles += 5 + cr; break;
+        case 0xF5: sbc(m->read(zpx())); m->cycles += 4; break;
+        case 0xFD: sbc(m->read(absx(&cr))); m->cycles += 4 + cr; break;
+        case 0xF9: sbc(m->read(absy(&cr))); m->cycles += 4 + cr; break;
+        case 0xE1: sbc(m->read(indx())); m->cycles += 6; break;
+        case 0xF1: sbc(m->read(indy(&cr))); m->cycles += 5 + cr; break;
+        case 0x35: a &= m->read(zpx()); setZN(a); m->cycles += 4; break;
+        case 0x3D: a &= m->read(absx(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x39: a &= m->read(absy(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x21: a &= m->read(indx()); setZN(a); m->cycles += 6; break;
+        case 0x31: a &= m->read(indy(&cr)); setZN(a); m->cycles += 5 + cr;
+            break;
+        case 0x15: a |= m->read(zpx()); setZN(a); m->cycles += 4; break;
+        case 0x1D: a |= m->read(absx(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x19: a |= m->read(absy(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x01: a |= m->read(indx()); setZN(a); m->cycles += 6; break;
+        case 0x11: a |= m->read(indy(&cr)); setZN(a); m->cycles += 5 + cr;
+            break;
+        case 0x55: a ^= m->read(zpx()); setZN(a); m->cycles += 4; break;
+        case 0x5D: a ^= m->read(absx(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x59: a ^= m->read(absy(&cr)); setZN(a); m->cycles += 4 + cr;
+            break;
+        case 0x41: a ^= m->read(indx()); setZN(a); m->cycles += 6; break;
+        case 0x51: a ^= m->read(indy(&cr)); setZN(a); m->cycles += 5 + cr;
+            break;
+        case 0xD5: cmp(a, m->read(zpx())); m->cycles += 4; break;
+        case 0xC1: cmp(a, m->read(indx())); m->cycles += 6; break;
+        case 0xD1: cmp(a, m->read(indy(&cr))); m->cycles += 5 + cr; break;
+        // memory shifts (RMW: zp=5, zpx=6, abs=6, absx=7)
+        case 0x06: rmw(zp(), &CPU::asl_v, 5); break;
+        case 0x16: rmw(zpx(), &CPU::asl_v, 6); break;
+        case 0x0E: rmw(abs_(), &CPU::asl_v, 6); break;
+        case 0x1E: rmw(absx(&cr), &CPU::asl_v, 7); break;
+        case 0x46: rmw(zp(), &CPU::lsr_v, 5); break;
+        case 0x56: rmw(zpx(), &CPU::lsr_v, 6); break;
+        case 0x4E: rmw(abs_(), &CPU::lsr_v, 6); break;
+        case 0x5E: rmw(absx(&cr), &CPU::lsr_v, 7); break;
+        case 0x26: rmw(zp(), &CPU::rol_v, 5); break;
+        case 0x36: rmw(zpx(), &CPU::rol_v, 6); break;
+        case 0x2E: rmw(abs_(), &CPU::rol_v, 6); break;
+        case 0x3E: rmw(absx(&cr), &CPU::rol_v, 7); break;
+        case 0x66: rmw(zp(), &CPU::ror_v, 5); break;
+        case 0x76: rmw(zpx(), &CPU::ror_v, 6); break;
+        case 0x6E: rmw(abs_(), &CPU::ror_v, 6); break;
+        case 0x7E: rmw(absx(&cr), &CPU::ror_v, 7); break;
+        case 0xFE: ad = absx(&cr); v = m->read(ad) + 1; m->write(ad, v);
+            setZN(v); m->cycles += 7; break;
+        case 0xDE: ad = absx(&cr); v = m->read(ad) - 1; m->write(ad, v);
+            setZN(v); m->cycles += 7; break;
+        // 65C02 subset (everything sim/asm65.py can assemble)
+        case 0x80: branch(true); break;                      // BRA
+        case 0xDA: push(x); m->cycles += 3; break;           // PHX
+        case 0x5A: push(y); m->cycles += 3; break;           // PHY
+        case 0xFA: x = pop(); setZN(x); m->cycles += 4; break;  // PLX
+        case 0x7A: y = pop(); setZN(y); m->cycles += 4; break;  // PLY
+        case 0x64: m->write(zp(), 0); m->cycles += 3; break;    // STZ zp
+        case 0x74: m->write(zpx(), 0); m->cycles += 4; break;   // STZ zp,x
+        case 0x9C: m->write(abs_(), 0); m->cycles += 4; break;  // STZ abs
+        case 0x9E: ad = absx(&cr); m->write(ad, 0); m->cycles += 5;
+            break;                                              // STZ abs,x
+        case 0x00: return 3;  // BRK: error stop
         default:
-            return false;  // undocumented opcode: stop
+            return 5;  // undocumented opcode: stop (distinct from BRK)
     }
-    return true;
+    return 0;
 }
 
 }  // namespace
@@ -397,9 +497,11 @@ extern "C" int64_t a2_run(
         const uint8_t* stream, int64_t stream_len,
         int64_t max_cycles,
         int64_t* tick_cycles, int64_t tick_cap,
-        int64_t* counts,  // [n_ticks, cycles, exit, pc, n_recv, n_cout]
+        int64_t* counts,  // [n_ticks, cycles, exit, pc, n_recv, n_cout,
+                          //  a, x, y, n_trace]
         uint16_t start_pc, uint16_t terminate_addr,
-        uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr) {
+        uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
+        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring) {
     Machine m;
     m.main = main_mem;
     m.aux = aux_mem;
@@ -411,6 +513,13 @@ extern "C" int64_t a2_run(
     CPU cpu;
     cpu.m = &m;
     cpu.pc = start_pc;
+
+    // side-effect-free memory peek for trace capture (never touches IO)
+    auto peek = [&](uint16_t addr) -> uint8_t {
+        if ((addr & 0xFF00) == 0xC000) return 0;
+        return m.aux_mapped(addr) ? aux_mem[addr] : main_mem[addr];
+    };
+    int64_t n_trace = 0;  // total instructions traced (can exceed cap)
 
     int exit_code = 2;
     while (m.cycles < max_cycles) {
@@ -439,10 +548,21 @@ extern "C" int64_t a2_run(
             cpu.pc = (uint16_t)(((hi << 8) | lo) + 1);
             continue;
         }
-        if (!cpu.step()) {
-            uint8_t op = m.read(pc);
-            if (op == 0x4C) exit_code = 4;        // JMP-to-self stall
-            else exit_code = 3;                   // BRK / undocumented
+        if (trace_cap > 0 && (trace_ring || n_trace < trace_cap)) {
+            int64_t slot = (n_trace % trace_cap) * 3;
+            trace_buf[slot] = (int64_t)pc
+                | ((int64_t)peek(pc) << 16)
+                | ((int64_t)peek((uint16_t)(pc + 1)) << 24)
+                | ((int64_t)peek((uint16_t)(pc + 2)) << 32);
+            trace_buf[slot + 1] = (int64_t)cpu.a | ((int64_t)cpu.x << 8)
+                | ((int64_t)cpu.y << 16) | ((int64_t)cpu.p << 24)
+                | ((int64_t)cpu.sp << 32);
+            trace_buf[slot + 2] = m.cycles;
+        }
+        if (trace_cap > 0) n_trace++;
+        int stop = cpu.step();
+        if (stop) {
+            exit_code = stop;
             cpu.pc = pc;
             break;
         }
@@ -458,5 +578,6 @@ extern "C" int64_t a2_run(
     counts[6] = cpu.a;
     counts[7] = cpu.x;
     counts[8] = cpu.y;
+    counts[9] = n_trace;
     return exit_code;
 }

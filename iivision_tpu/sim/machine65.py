@@ -15,6 +15,7 @@ instruction-by-instruction with cycle accounting.  Callers can then assert:
 """
 
 import ctypes
+import functools
 import os
 import subprocess
 from dataclasses import dataclass
@@ -27,7 +28,88 @@ _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
 _SO = os.path.join(_CSRC, "libapple2_vm.so")
 
 EXIT_NAMES = {0: "TERMINATED", 1: "PRODOS_QUIT", 2: "MAX_CYCLES",
-              3: "BRK", 4: "STALL"}
+              3: "BRK", 4: "STALL", 5: "UNDOCUMENTED"}
+
+
+@dataclass
+class TraceEntry:
+    """One executed instruction: state BEFORE execution."""
+    pc: int
+    op_bytes: tuple  # up to 3 raw bytes at pc (self-modification safe:
+    # captured at execution time, not from final memory)
+    a: int
+    x: int
+    y: int
+    p: int
+    sp: int
+    cycles: int
+
+    def disassemble(self, symbols=None) -> str:
+        return disassemble_bytes(self.pc, self.op_bytes, symbols)
+
+    def format(self, symbols=None) -> str:
+        return ("%04X  %-12s A=%02X X=%02X Y=%02X P=%02X SP=%02X cyc=%d"
+                % (self.pc, self.disassemble(symbols), self.a, self.x,
+                   self.y, self.p, self.sp, self.cycles))
+
+
+@functools.lru_cache(None)
+def _disasm_table():
+    """opcode byte -> (mnemonic, mode) from the assembler's own table."""
+    out = {}
+    for mnem, modes in asm65.OPCODES.items():
+        for mode, byte in modes.items():
+            out[byte] = (mnem, mode)
+    return out
+
+
+def disassemble_bytes(pc: int, op_bytes, symbols=None) -> str:
+    """Render one instruction (reference simulator/apple2.py:196-204 shape).
+
+    symbols: optional {name: addr} map (e.g. Assembly.symbols) - absolute
+    operands matching a symbol render as the name.
+    """
+    table = _disasm_table()
+    b0 = op_bytes[0]
+    if b0 not in table:
+        return ".byte $%02X" % b0
+    mnem, mode = table[b0]
+    size = asm65.MODE_SIZE[mode]
+    sym = {}
+    if symbols:
+        sym = {v: k for k, v in sorted(symbols.items(),
+                                       key=lambda kv: kv[1], reverse=True)}
+
+    def name16(v):
+        return sym.get(v, "$%04X" % v)
+
+    if mode in ("imp", "acc"):
+        return mnem
+    if mode == "imm":
+        return "%s #$%02X" % (mnem, op_bytes[1])
+    if mode == "rel":
+        dst = (pc + 2 + np.int8(op_bytes[1])) & 0xFFFF
+        return "%s %s" % (mnem, name16(int(dst)))
+    if mode == "zp":
+        return "%s $%02X" % (mnem, op_bytes[1])
+    if mode == "zpx":
+        return "%s $%02X,X" % (mnem, op_bytes[1])
+    if mode == "zpy":
+        return "%s $%02X,Y" % (mnem, op_bytes[1])
+    if mode == "indx":
+        return "%s ($%02X,X)" % (mnem, op_bytes[1])
+    if mode == "indy":
+        return "%s ($%02X),Y" % (mnem, op_bytes[1])
+    ad = op_bytes[1] | (op_bytes[2] << 8)
+    if mode == "abs":
+        return "%s %s" % (mnem, name16(ad))
+    if mode == "absx":
+        return "%s %s,X" % (mnem, name16(ad))
+    if mode == "absy":
+        return "%s %s,Y" % (mnem, name16(ad))
+    if mode == "ind":
+        return "%s (%s)" % (mnem, name16(ad))
+    return mnem
 
 
 def _build_library() -> str:
@@ -49,6 +131,8 @@ class RunResult:
     n_recv: int  # W5100 RECV commands issued (== ACK opcodes executed)
     pc: int
     regs: tuple  # (A, X, Y) at exit
+    trace: list = None  # list[TraceEntry] when tracing was requested
+    n_executed: int = 0  # total instructions executed (when tracing)
 
     @property
     def duty_cycles(self) -> np.ndarray:
@@ -67,23 +151,33 @@ class RunResult:
 class Apple2Player:
     """The vendored player running on the simulated machine."""
 
+    ARGTYPES = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_uint16, ctypes.c_uint16,
+        ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint16,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+    ]
+
     def __init__(self):
         self.assembly = asm65.assemble_player()
         asm65.validate_against_dbg(self.assembly)
         self._lib = ctypes.CDLL(_build_library())
         self._lib.a2_run.restype = ctypes.c_int64
-        self._lib.a2_run.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_char_p, ctypes.c_int64,
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_uint16, ctypes.c_uint16,
-            ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint16,
-        ]
+        self._lib.a2_run.argtypes = self.ARGTYPES
 
     def run(self, stream: bytes,
-            max_cycles: int = 1 << 40) -> RunResult:
+            max_cycles: int = 1 << 40, trace=None) -> RunResult:
+        """Execute the player against `stream`.
+
+        trace: None, or ("first", N) / ("ring", N) to capture the first /
+        last N executed instructions (TraceEntry list on the result) -
+        the tool for locating the first diverging instruction after a
+        parity failure.
+        """
         syms = self.assembly.symbols
         main = np.zeros(65536, np.uint8)
         aux = np.zeros(65536, np.uint8)
@@ -93,10 +187,13 @@ class Apple2Player:
         tick_cap = (len(stream) // 7 * 2 + len(stream) // 2048 * 4
                     + 4096)
         ticks = np.zeros(tick_cap, np.int64)
-        counts = np.zeros(9, np.int64)
+        counts = np.zeros(10, np.int64)
 
         def ptr(arr, ty):
             return arr.ctypes.data_as(ctypes.POINTER(ty))
+
+        trace_mode, trace_cap = _parse_trace(trace)
+        trace_buf = np.zeros(max(trace_cap, 1) * 3, np.int64)
 
         rc = self._lib.a2_run(
             ptr(main, ctypes.c_uint8), ptr(aux, ctypes.c_uint8),
@@ -104,7 +201,8 @@ class Apple2Player:
             ptr(ticks, ctypes.c_int64), tick_cap,
             ptr(counts, ctypes.c_int64),
             self.assembly.entry, syms["op_terminate"],
-            syms["HGR0"], syms["COUT"], syms["PRODOS"])
+            syms["HGR0"], syms["COUT"], syms["PRODOS"],
+            ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode)
         del rc
         if int(counts[0]) > tick_cap:
             # The C core keeps counting but stops logging past the cap; a
@@ -125,14 +223,103 @@ class Apple2Player:
             n_recv=int(counts[4]),
             pc=int(counts[3]),
             regs=(int(counts[6]), int(counts[7]), int(counts[8])),
+            trace=_decode_trace(trace_buf, trace_cap, int(counts[9]),
+                                trace_mode == 1),
+            n_executed=int(counts[9]),
         )
+
+
+def _parse_trace(trace):
+    """("first"|"ring", N) -> (mode int, cap int); None -> (0, 0)."""
+    if trace is None:
+        return 0, 0
+    kind, cap = trace
+    if kind not in ("first", "ring") or cap <= 0:
+        raise ValueError("trace must be ('first'|'ring', N>0), got %r"
+                         % (trace,))
+    return (1 if kind == "ring" else 0), int(cap)
+
+
+def _decode_trace(buf: np.ndarray, cap: int, n_trace: int, ring: bool):
+    """Unpack the C trace buffer into TraceEntry objects (ring-ordered)."""
+    if cap <= 0 or n_trace <= 0:
+        return None
+    n = min(n_trace, cap)
+    e = buf[:cap * 3].reshape(cap, 3)
+    if ring and n_trace > cap:  # oldest entry is at n_trace % cap
+        start = n_trace % cap
+        e = np.concatenate([e[start:], e[:start]])[-n:]
+    else:
+        e = e[:n]
+    out = []
+    for meta, regs, cyc in e:
+        meta, regs = int(meta), int(regs)
+        out.append(TraceEntry(
+            pc=meta & 0xFFFF,
+            op_bytes=((meta >> 16) & 0xFF, (meta >> 24) & 0xFF,
+                      (meta >> 32) & 0xFF),
+            a=regs & 0xFF, x=(regs >> 8) & 0xFF, y=(regs >> 16) & 0xFF,
+            p=(regs >> 24) & 0xFF, sp=(regs >> 32) & 0xFF,
+            cycles=int(cyc)))
+    return out
+
+
+def run_program(source: str, entry: str = "start", stop: str = "stop",
+                max_cycles: int = 10 ** 7, trace=None,
+                stream: bytes = b"") -> RunResult:
+    """Assemble a standalone 6502 source (asm65 syntax) and execute it.
+
+    Runs on the same Apple IIe machine model as the player (soft switches,
+    W5100, speaker) with execution from `entry` label until the `stop`
+    label is reached.  The vehicle for testing CPU behaviour directly -
+    e.g. that every form asm65 can assemble also executes.
+    """
+    asm = asm65.Assembler().assemble(source)
+    lib = ctypes.CDLL(_build_library())
+    lib.a2_run.restype = ctypes.c_int64
+    lib.a2_run.argtypes = Apple2Player.ARGTYPES
+    main = np.zeros(65536, np.uint8)
+    aux = np.zeros(65536, np.uint8)
+    main[:] = np.frombuffer(bytes(asm.image), np.uint8)
+    ticks = np.zeros(65536, np.int64)
+    counts = np.zeros(10, np.int64)
+    trace_mode, trace_cap = _parse_trace(trace)
+    trace_buf = np.zeros(max(trace_cap, 1) * 3, np.int64)
+
+    def ptr(arr):
+        return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    lib.a2_run(
+        main.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        aux.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        stream, len(stream), max_cycles,
+        ptr(ticks), len(ticks), ptr(counts),
+        asm.symbols[entry], asm.symbols[stop],
+        0xFFFF, 0xFFFF, 0xFFFF,  # no ROM traps for raw programs
+        ptr(trace_buf), trace_cap, trace_mode)
+    res = RunResult(
+        exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
+        cycles=int(counts[1]),
+        tick_cycles=ticks[:min(int(counts[0]), len(ticks))].copy(),
+        main=main[0x2000:0x4000].reshape(32, 256).copy(),
+        aux=aux[0x2000:0x4000].reshape(32, 256).copy(),
+        n_recv=int(counts[4]),
+        pc=int(counts[3]),
+        regs=(int(counts[6]), int(counts[7]), int(counts[8])),
+        trace=_decode_trace(trace_buf, trace_cap, int(counts[9]),
+                            trace_mode == 1),
+        n_executed=int(counts[9]))
+    res.memory = main  # full 64K for assertions
+    res.symbols = asm.symbols
+    return res
 
 
 _PLAYER = None
 
 
-def play_stream(stream: bytes, max_cycles: int = 1 << 40) -> RunResult:
+def play_stream(stream: bytes, max_cycles: int = 1 << 40,
+                trace=None) -> RunResult:
     global _PLAYER
     if _PLAYER is None:
         _PLAYER = Apple2Player()
-    return _PLAYER.run(stream, max_cycles)
+    return _PLAYER.run(stream, max_cycles, trace=trace)

@@ -23,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--machine", action="store_true",
                     help="Also execute on the simulated 6502 Apple IIe "
                          "and cross-check both checkers' screen memory.")
+    ap.add_argument("--trace", type=int, default=0, metavar="N",
+                    help="With --machine: keep the last N executed "
+                         "instructions and print them (disassembled, with "
+                         "player symbols) when verification fails.")
     args = ap.parse_args(argv)
 
     from iivision_tpu.sim import PlayerVM
@@ -41,16 +45,29 @@ def main(argv=None):
     if args.machine:
         from iivision_tpu.sim import machine65
 
-        mres = machine65.play_stream(data)
+        trace = ("ring", args.trace) if args.trace > 0 else None
+        mres = machine65.play_stream(data, trace=trace)
         print("6502: exit=%s cycles=%d (%.2fs at 1.0227MHz) recv=%d"
               % (mres.exit_reason, mres.cycles,
                  mres.cycles / (1024 * 1024), mres.n_recv))
+
+        def dump_trace():
+            if not mres.trace:
+                return
+            syms = machine65._PLAYER.assembly.symbols
+            print("last %d executed instructions:" % len(mres.trace))
+            for t in mres.trace:
+                print("  " + t.format(syms))
+
         if mres.exit_reason != "TERMINATED":
-            print("FAIL: machine did not reach op_terminate")
+            print("FAIL: machine did not reach op_terminate "
+                  "(exit=%s at pc=$%04X)" % (mres.exit_reason, mres.pc))
+            dump_trace()
             return 1
         if not np.array_equal(mres.main, res.main) or \
                 not np.array_equal(mres.aux, res.aux):
             print("FAIL: machine screen memory diverges from VM model")
+            dump_trace()
             return 1
         print("6502 screen memory matches the VM model (MAIN+AUX)")
     print("OK")

@@ -258,3 +258,171 @@ a = 2
     with pytest.raises(asm65.AsmError, match="branch out of range"):
         asm65.Assembler({"CODE": 0x4000}).assemble(
             '    .segment "CODE"\nfar = $8000\n    BNE far\n')
+
+
+# --- CPU instruction-set coverage, exit codes, tracing ------------------------
+
+
+def test_65c02_forms_execute():
+    """Every 65C02 form asm65 advertises (BRA, PHX/PHY/PLX/PLY, STZ) must
+    execute on the machine, not just assemble."""
+    res = machine65.run_program("""
+    .segment "CODE"
+start:
+    LDX #$21
+    LDY #$42
+    PHX
+    PHY
+    LDX #0
+    LDY #0
+    PLY             ; Y = pushed Y ($42)
+    PLX             ; X = pushed X ($21)
+    LDA #$FF
+    STA $40
+    STA $44
+    STA $2100
+    STA $2104
+    STZ $40         ; STZ zp
+    STZ $2100       ; STZ abs
+    LDX #4
+    STZ $40,X       ; STZ zp,X
+    STZ $2100,X     ; STZ abs,X
+    LDX #$21
+    BRA over        ; 65C02 unconditional branch
+    BRK             ; must be skipped
+over:
+    LDA #$A5
+stop:
+    NOP
+""")
+    assert res.exit_reason == "TERMINATED", res.exit_reason
+    a, x, y = res.regs
+    assert (a, x, y) == (0xA5, 0x21, 0x42)
+    assert res.memory[0x40] == 0 and res.memory[0x44] == 0
+    assert res.memory[0x2100] == 0 and res.memory[0x2104] == 0
+
+
+def test_nmos_rmw_and_indexed_forms():
+    """Memory shifts, indexed inc/dec, indirect logic ops, RTI."""
+    res = machine65.run_program("""
+ptr = $60
+    .segment "CODE"
+start:
+    LDA #$81
+    STA $50
+    ASL $50         ; $02, C=1
+    ROL $50         ; $05 (carry in)
+    LDA #$41
+    STA $5000
+    ROR $5000       ; C=1 from ROL's carry-out 0 -> no: C=0 -> $20
+    LSR $5000       ; $10
+    LDX #3
+    INC $5100,X
+    INC $5100,X
+    DEC $5104,X
+    ; (zp),Y logic
+    LDA #$00
+    STA ptr
+    LDA #$52
+    STA ptr+1
+    LDY #7
+    LDA #$0F
+    STA $5207
+    LDA #$F0
+    ORA (ptr),Y     ; A = $FF
+    STA $51
+    ; RTI: push target then status; must land exactly at `ret`
+    LDA #>ret
+    PHA
+    LDA #<ret
+    PHA
+    PHP
+    RTI
+    BRK
+ret:
+    LDA $50
+stop:
+    NOP
+""")
+    assert res.exit_reason == "TERMINATED", res.exit_reason
+    assert res.memory[0x50] == 0x05
+    assert res.regs[0] == 0x05  # LDA $50 at ret
+    assert res.memory[0x5000] == 0x10
+    assert res.memory[0x5103] == 2
+    assert res.memory[0x5107] == 0xFF
+    assert res.memory[0x51] == 0xFF
+
+
+def test_brk_vs_undocumented_exit_codes():
+    """A corrupt stream steering into data (undocumented opcode) must be
+    distinguishable from an explicit BRK error stop."""
+    res_brk = machine65.run_program("""
+    .segment "CODE"
+start:
+    NOP
+    BRK
+stop:
+    NOP
+""")
+    assert res_brk.exit_reason == "BRK"
+    assert res_brk.pc == res_brk.symbols["start"] + 1
+
+    res_ill = machine65.run_program("""
+    .segment "CODE"
+start:
+    NOP
+    .byte $02       ; JAM (undocumented)
+stop:
+    NOP
+""")
+    assert res_ill.exit_reason == "UNDOCUMENTED"
+    assert res_ill.pc == res_ill.symbols["start"] + 1
+
+
+def test_trace_first_and_ring():
+    """Instruction tracing: first-N and last-N (ring) capture with
+    register state and disassembly (incl. symbol rendering)."""
+    src = """
+    .segment "CODE"
+start:
+    LDA #$17
+    LDX #$02
+    NOP
+    NOP
+    NOP
+    JMP finish
+finish:
+    NOP
+stop:
+    NOP
+"""
+    res = machine65.run_program(src, trace=("first", 3))
+    assert res.n_executed == 7
+    assert len(res.trace) == 3
+    t0, t1, t2 = res.trace
+    assert t0.pc == res.symbols["start"]
+    assert t0.disassemble() == "LDA #$17"
+    assert t1.disassemble() == "LDX #$02"
+    assert (t1.a, t1.x) == (0x17, 0)   # state BEFORE the instruction
+    assert (t2.a, t2.x) == (0x17, 2)
+    assert t2.cycles == 4  # LDA(2) + LDX(2)
+
+    res = machine65.run_program(src, trace=("ring", 2))
+    assert res.n_executed == 7
+    assert len(res.trace) == 2
+    assert res.trace[0].disassemble(res.symbols) == "JMP finish"
+    assert res.trace[1].pc == res.symbols["finish"]
+    assert res.trace[1].disassemble() == "NOP"
+    assert "JMP" in res.trace[0].format(res.symbols)
+
+
+def test_play_stream_trace_locates_instruction():
+    """Tracing through the real player: the ring trace's tail must be the
+    op_terminate dispatch path."""
+    data, _ = synth_stream(5, VideoMode.DHGR)
+    res = machine65.play_stream(data, trace=("ring", 8))
+    assert res.exit_reason == "TERMINATED"
+    assert len(res.trace) == 8
+    syms = machine65._PLAYER.assembly.symbols
+    # the last traced instruction is the JMP dispatch into op_terminate
+    assert res.trace[-1].disassemble(syms).startswith("JMP")
