@@ -290,9 +290,15 @@ def fetch_ops_compact(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
 
 
 def build_tables_sharded(mode: VideoMode, palette, mesh,
-                         axis: str = "movies"):
+                         axis: str = "movies", n_rows: Optional[int] = None):
     """Edit-distance LUT generation sharded over the mesh (row blocks of the
-    pair matrix are independent; no communication until output gather)."""
+    pair matrix are independent; no communication until output gather).
+
+    n_rows limits the computation to the first n_rows source values per
+    lane (testing/dry runs); None computes the full LUT.  Output matches
+    the corresponding rows of editdist.build_tables exactly (same
+    dp_distance_tile numerics, row-sharded over the mesh).
+    """
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -305,7 +311,8 @@ def build_tables_sharded(mode: VideoMode, palette, mesh,
     for lane in range(int(spec.N_LANES)):
         codes = jnp.asarray(
             editdist.lane_pixel_codes(mode, lane).astype(np.int32))
-        rows = jax.device_put(codes, NamedSharding(mesh, P(axis, None)))
+        src = codes if n_rows is None else codes[:n_rows]
+        rows = jax.device_put(src, NamedSharding(mesh, P(axis, None)))
         cols = jax.device_put(codes, NamedSharding(mesh, P()))
 
         @jax.jit

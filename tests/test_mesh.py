@@ -200,3 +200,28 @@ def test_fetch_ops_compact_matches_flatten():
     full = pmesh.fetch_ops(ops_b, plan)
     for i in range(B):
         assert np.array_equal(compact[i], encoder.flatten_ops(full[i], plan))
+
+
+def test_build_tables_sharded_equals_unsharded():
+    """Row-sharded LUT generation must be bit-equal to the unsharded
+    dp_distance_tile numerics on every lane."""
+    import jax
+    import jax.numpy as jnp
+
+    from iivision_tpu.ops import editdist
+    from iivision_tpu.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(8)
+    n_rows = 64
+    sharded = np.asarray(pmesh.build_tables_sharded(
+        VideoMode.DHGR, Palette.NTSC, m, n_rows=n_rows))
+    sub = jnp.asarray(
+        editdist.substitute_matrix(Palette.NTSC).astype(np.float32))
+    spec_lanes = sharded.shape[0]
+    assert spec_lanes == 4
+    for lane in range(spec_lanes):
+        codes = jnp.asarray(
+            editdist.lane_pixel_codes(VideoMode.DHGR, lane).astype(np.int32))
+        ref = np.asarray(jax.jit(editdist.dp_distance_tile)(
+            codes[:n_rows], codes, sub).astype(jnp.uint16))
+        assert np.array_equal(sharded[lane].reshape(n_rows, -1), ref), lane
