@@ -22,6 +22,7 @@ tested against the scalar oracle.
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -31,6 +32,11 @@ from iivision_tpu.video_mode import VideoMode
 
 TRANSPOSE_COST = 1.0
 BIG = 1e9
+
+# Bump when store-cost semantics change (invalidates shipped artifacts).
+STORE_COST_VERSION = 1
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data")
 
 
 def lane_pixels(vals, mode: VideoMode, lane: int):
@@ -134,6 +140,21 @@ def n_contents(mode: VideoMode) -> int:
     return 128 if mode == VideoMode.DHGR else 256
 
 
+def store_cost_path(mode: VideoMode, palette: Palette, model: str,
+                    data_dir=None) -> str:
+    """Artifact path for a store-cost table (shipped for common configs)."""
+    return os.path.join(
+        data_dir or DATA_DIR, "store_cost",
+        "v%d_%s_%s_%s.npz" % (STORE_COST_VERSION, mode.name,
+                              palette.name, model))
+
+
+def _user_cache_dir() -> str:
+    return os.path.join(
+        os.environ.get("XDG_CACHE_HOME",
+                       os.path.expanduser("~/.cache")), "iivision_tpu")
+
+
 @functools.lru_cache(None)
 def store_cost_table(mode: VideoMode, palette: Palette,
                      model: str = "window"):
@@ -144,7 +165,48 @@ def store_cost_table(mode: VideoMode, palette: Palette,
     costs read it directly, and residual priorities are exactly these values
     (reference byte_pair_difference, screen.py:383-398, evaluated against
     the target's packed data as in video.py:163-170).
+
+    Cold-start path: shipped npz artifacts (package data/store_cost/, the
+    analogue of the reference shipping transcoder/data/*.npz,
+    reference README.md:61-67) or a per-user cache load in ~0.1s; a cache
+    miss builds on-device and persists to the user cache.  Window-model
+    values are exact integers < 2^12, stored as uint16 (bit-exact reload);
+    yiq values are stored f32.
     """
+    import jax.numpy as jnp
+
+    for d in (None, _user_cache_dir()):
+        path = store_cost_path(mode, palette, model, d)
+        if os.path.exists(path):
+            return jnp.asarray(
+                np.load(path)["cost"].astype(np.float32))
+    table = _build_store_cost(mode, palette, model)
+    try:
+        save_store_cost(np.asarray(table), mode, palette, model,
+                        _user_cache_dir())
+    except OSError:
+        pass  # read-only home: rebuild next process
+    return table
+
+
+def save_store_cost(cost: np.ndarray, mode: VideoMode, palette: Palette,
+                    model: str, data_dir=None) -> str:
+    path = store_cost_path(mode, palette, model, data_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if model == "window":  # exact integers < 2^12: uint16 round-trips
+        assert float(np.abs(cost - np.round(cost)).max()) == 0.0
+        out = cost.astype(np.uint16)
+    else:
+        out = cost.astype(np.float32)
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, cost=out)
+    os.replace(tmp, path)
+    return path
+
+
+def _build_store_cost(mode: VideoMode, palette: Palette,
+                      model: str = "window"):
     import jax
     import jax.numpy as jnp
 

@@ -72,3 +72,27 @@ def test_store_cost_zero_diagonal_distribution():
     assert sc.max() < 2 ** 16
     # every target window has at least one zero-cost content (its own byte)
     assert np.all(sc.min(axis=2) == 0)
+
+
+def test_store_cost_artifact_roundtrip(tmp_path):
+    """save_store_cost -> load must be bit-exact (uint16 for window)."""
+    built = np.asarray(distance.store_cost_table(VideoMode.DHGR,
+                                                 Palette.NTSC))
+    p = distance.save_store_cost(built, VideoMode.DHGR, Palette.NTSC,
+                                 "window", str(tmp_path))
+    loaded = np.load(p)["cost"].astype(np.float32)
+    assert np.array_equal(loaded, built)
+
+
+def test_shipped_store_cost_artifacts_match_live_build():
+    """The committed npz artifacts must equal what the code builds today
+    (guards stale artifacts after a semantics change without a version
+    bump)."""
+    import os
+
+    for mode in (VideoMode.DHGR, VideoMode.HGR):
+        path = distance.store_cost_path(mode, Palette.NTSC, "window")
+        assert os.path.exists(path), path  # shipped for the bench configs
+        shipped = np.load(path)["cost"].astype(np.float32)
+        built = np.asarray(distance._build_store_cost(mode, Palette.NTSC))
+        assert np.array_equal(shipped, built), mode
