@@ -148,8 +148,21 @@ def _jit_quantize(mode: VideoMode, palette: Palette):
 
 
 def _quantize_batch(rgb: np.ndarray, mode: VideoMode, palette: Palette,
-                    dither_mode: str):
-    """Quantize a (B, 192, 140, 3) batch; returns device arrays (async)."""
+                    dither_mode: str, device: bool = False):
+    """Quantize a (B, 192, 140, 3) batch.
+
+    Host path (default for the ordered dither): C++ fused-LUT quantize +
+    screen packing (ops/dither.py host section) - the RGB never crosses
+    the host->device link; only the 8KB-per-frame screen banks do, ~6x
+    less transfer.  device=True runs the original jitted on-device
+    quantize (used when sources are already device-resident - see
+    parallel/mesh.ingest_movies_batch - or for A/B).
+    """
+    if dither_mode == "ordered" and not device:
+        if mode == VideoMode.DHGR:
+            codes = dither.quantize_ordered_host(rgb, palette)
+            return dither.dhgr_pack_host(codes)
+        return dither.quantize_hgr_host(rgb, palette), None
     if dither_mode == "ordered":
         return _jit_quantize(mode, palette)(rgb)
     codes = np.stack([
@@ -288,12 +301,16 @@ def ingest(source, mode: VideoMode, palette: Palette,
            every_n_video_frames: int = 1,
            dither_mode: str = "ordered",
            frame_rate: Optional[float] = None,
-           cache: bool = True) -> MovieFrames:
+           cache: bool = True,
+           quantize_device: bool = False) -> MovieFrames:
     """Decode + quantize a movie into encoder targets (pipelined).
 
     source: path (video/gif/npy), a (F, H, W, 3) uint8 array (frame_rate
     then recommended), or a reference bmp2dhr frame-cache directory
     (`.../<MODE>/<PALETTE>` holding %08d.BIN/.AUX dumps).
+    quantize_device=True quantizes on the accelerator instead of the C++
+    host path (slightly different borderline-pixel picks; the host path
+    avoids shipping RGB over the host->device link).
     """
     cache_file = None
     if isinstance(source, np.ndarray):
@@ -317,8 +334,9 @@ def ingest(source, mode: VideoMode, palette: Palette,
         frames_iter, rate = iter_video_frames(source)
         if frame_rate:
             rate = frame_rate
+        dither_tag = dither_mode + ("_dev" if quantize_device else "")
         cache_file = _cache_path(
-            source, mode, palette, every_n_video_frames, dither_mode) \
+            source, mode, palette, every_n_video_frames, dither_tag) \
             if cache else None
         if cache_file and os.path.exists(cache_file):
             data = np.load(cache_file)
@@ -353,7 +371,8 @@ def ingest(source, mode: VideoMode, palette: Palette,
                 n_total = payload
                 break
             pending.append(
-                _quantize_batch(payload, mode, palette, dither_mode))
+                _quantize_batch(payload, mode, palette, dither_mode,
+                                device=quantize_device))
     finally:
         stop.set()  # unblock + terminate the worker if we errored out
     t.join()

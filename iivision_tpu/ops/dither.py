@@ -99,6 +99,106 @@ def _srgb_to_lab_jnp(rgb255):
     return jnp.stack([L, a, b], axis=-1)
 
 
+# --- host ordered dithering (native C++ + fused LUT) ---------------------------
+#
+# The ordered-dither quantizer evaluated on host: identical algorithm
+# (Bayer perturbation -> nearest palette colour in Lab) with the whole
+# perturb+Lab+argmin pipeline precomputed into a fused
+# (bayer_cell, r>>3, g>>3, b>>3) -> code LUT (2MB, cache-resident), and
+# the LUT walk + screen packing done in C++ (sim/csrc/ingest_fast.cpp).
+# Exists because the decode path is host-side anyway: quantizing before
+# the host->device hop shrinks the transfer ~6x (8KB screen banks vs RGB
+# frames), which matters on thin links (PCIe contention in production;
+# the ~20MB/s tunnel here).  Approximation vs the device path: channels
+# quantize to 5 bits before the palette decision (the Bayer threshold
+# shifts by <= 4/255) - a small fraction of borderline pixels flip;
+# tests pin the mismatch rate and quality equivalence.
+
+
+def _lut_cache_path(tag: str) -> str:
+    import os
+    root = os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "iivision_tpu")
+    return os.path.join(root, "quantize_lut_%s.npy" % tag)
+
+
+@functools.lru_cache(None)
+def _host_fused_lut(palette: Palette, codes: Optional[tuple] = None,
+                    strength: float = 24.0) -> np.ndarray:
+    """(64 * 32^3,) uint8 fused quantize LUT.
+
+    Entry [cell, r5, g5, b5] = nearest palette code (among `codes`, or all
+    16) in Lab space for the bin-centre RGB perturbed by bayer cell
+    `cell`'s threshold offset.  Disk-cached (~2MB).
+    """
+    import os
+    tag = "fused_%s_%s_%g" % (
+        palette.name,
+        "all" if codes is None else "".join("%x" % c for c in codes),
+        strength)
+    path = _lut_cache_path(tag)
+    if os.path.exists(path):
+        return np.load(path)
+    lab_pal = _palette_lab(palette).astype(np.float64)
+    sel = np.arange(16) if codes is None else np.asarray(codes)
+    pal = lab_pal[sel]
+    bayer = _bayer_matrix(8).reshape(64)
+    bins = (np.arange(32) * 8 + 3.5)
+    r, g, b = np.meshgrid(bins, bins, bins, indexing="ij")
+    rgb = np.stack([r, g, b], axis=-1).reshape(-1, 3)  # (32768, 3)
+    lut = np.empty((64, 32 * 32 * 32), np.uint8)
+    for cell in range(64):
+        off = (bayer[cell] - 0.5) * strength
+        pert = np.clip(rgb + off, 0.0, 255.0)
+        lab = palettes.srgb_to_lab(pert)
+        d = (-2.0 * lab @ pal.T) + np.sum(pal ** 2, axis=1)
+        lut[cell] = sel[np.argmin(d, axis=1)]
+    lut = lut.reshape(-1)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".%d.tmp" % os.getpid()
+        with open(tmp, "wb") as f:
+            np.save(f, lut)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return lut
+
+
+def quantize_ordered_host(rgb: np.ndarray, palette: Palette,
+                          strength: float = 24.0) -> np.ndarray:
+    """Host evaluation of the ordered-dither quantizer (C++ fused LUT).
+
+    rgb: (..., 192, 140, 3) uint8.  Returns (..., 192, 140) uint8 codes.
+    """
+    from iivision_tpu.sim import native
+
+    lut = _host_fused_lut(palette, None, strength)
+    return native.quantize_fused(
+        np.ascontiguousarray(rgb, np.uint8), lut)
+
+
+def dhgr_pack_host(codes: np.ndarray):
+    """(..., 192, 140) codes -> (main, aux) (..., 32, 256) uint8 (C++).
+
+    Bit-identical to dhgr_codes_to_memory (tested)."""
+    from iivision_tpu.sim import native
+
+    return native.dhgr_pack(np.ascontiguousarray(codes, np.uint8))
+
+
+def quantize_hgr_host(rgb: np.ndarray, palette: Palette) -> np.ndarray:
+    """Host path of quantize_hgr: 6-colour fused-LUT dither + C++ dot
+    fitting.  rgb: (..., 192, 140, 3) uint8 -> (..., 32, 256) main."""
+    from iivision_tpu.sim import native
+
+    hgr_codes = tuple(sorted(set(HGR_COLOURS_P0) | set(HGR_COLOURS_P1)))
+    lut = _host_fused_lut(palette, hgr_codes)
+    codes = native.quantize_fused(np.ascontiguousarray(rgb, np.uint8), lut)
+    return native.hgr_fit(codes)
+
+
 # --- error diffusion (native C++) ----------------------------------------------
 
 def quantize_error_diffusion(rgb: np.ndarray, palette: Palette,

@@ -1,0 +1,135 @@
+// Native host-side frame ingestion: ordered-dither quantize + screen packing.
+//
+// The decode path is host-resident (video decoders emit host RAM), so the
+// quantize-and-pack step in front of the host->device transfer runs here in
+// C++: it shrinks the transfer ~6x (8KB screen banks per frame instead of
+// RGB) and runs at memory speed on one core - the Python/numpy formulation
+// of the same math was gather- and temporary-bound (~0.45s per 150 frames;
+// this file does it in ~40ms).
+//
+// Semantics mirror ops/dither.py exactly:
+//  - quantize: Bayer-perturbed nearest-palette-in-Lab, evaluated through a
+//    fused (bayer_cell, r>>3, g>>3, b>>3) -> code LUT built by the Python
+//    side (dither._host_fused_lut);
+//  - dhgr_pack == dither.dhgr_codes_to_memory: pixel x's 4-bit code fills
+//    dots 4x..4x+3 LSB-first, dots pack 7-per-byte alternating AUX/MAIN
+//    (reference screen.py:819-947), rows map to (page, offset) via the HGR
+//    address interleave (reference screen.py:16-69);
+//  - hgr_fit == dither.hgr_dots_to_bytes + rows_to_memory: per screen byte,
+//    the palette bit + 7 data bits that minimise dot mismatches against the
+//    desired 560-dot row (ties prefer palette off; each data bit is the
+//    majority of its dot pair, ties to the first dot).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+const int W = 140, H = 192;
+
+// (page, offset) for screen row y (reference screen.py:16-30):
+// y = y2*64 + y1*8 + y0 -> page = y0*4 + (y1>>1), offset_base = (y1&1)*128
+// + y2*40.
+inline void row_addr(int y, int* page, int* off_base) {
+    int y2 = y / 64, y1 = (y % 64) / 8, y0 = y % 8;
+    *page = y0 * 4 + (y1 >> 1);
+    *off_base = (y1 & 1) * 128 + y2 * 40;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb: (F, 192, 140, 3) uint8; lut: (64*32*32*32) uint8 fused bayer LUT;
+// out: (F, 192, 140) uint8 colour codes.
+void quantize_fused(const uint8_t* rgb, int64_t F, const uint8_t* lut,
+                    uint8_t* out) {
+    for (int64_t f = 0; f < F; f++) {
+        for (int y = 0; y < H; y++) {
+            int cy = (y & 7) << 3;
+            const uint8_t* row = rgb + ((f * H + y) * W) * 3;
+            uint8_t* orow = out + (f * H + y) * W;
+            for (int x = 0; x < W; x++) {
+                uint32_t cell = (uint32_t)(cy | (x & 7)) << 15;
+                uint32_t key = cell
+                    | ((uint32_t)(row[x * 3 + 0] >> 3) << 10)
+                    | ((uint32_t)(row[x * 3 + 1] >> 3) << 5)
+                    | (uint32_t)(row[x * 3 + 2] >> 3);
+                orow[x] = lut[key];
+            }
+        }
+    }
+}
+
+// codes: (F, 192, 140) uint8 -> main/aux: (F, 32, 256) uint8 each.
+void dhgr_pack(const uint8_t* codes, int64_t F, uint8_t* main_out,
+               uint8_t* aux_out) {
+    memset(main_out, 0, (size_t)F * 32 * 256);
+    memset(aux_out, 0, (size_t)F * 32 * 256);
+    for (int64_t f = 0; f < F; f++) {
+        for (int y = 0; y < H; y++) {
+            const uint8_t* c = codes + (f * H + y) * W;
+            int page, off_base;
+            row_addr(y, &page, &off_base);
+            uint8_t* mrow = main_out + (f * 32 + page) * 256 + off_base;
+            uint8_t* arow = aux_out + (f * 32 + page) * 256 + off_base;
+            // 7 codes (28 dots) -> 4 screen bytes AUX,MAIN,AUX,MAIN
+            for (int g = 0; g < 20; g++) {
+                const uint8_t* cg = c + g * 7;
+                uint32_t w = 0;
+                for (int k = 0; k < 7; k++)
+                    w |= (uint32_t)(cg[k] & 0xF) << (4 * k);
+                arow[g * 2 + 0] = w & 0x7F;
+                mrow[g * 2 + 0] = (w >> 7) & 0x7F;
+                arow[g * 2 + 1] = (w >> 14) & 0x7F;
+                mrow[g * 2 + 1] = (w >> 21) & 0x7F;
+            }
+        }
+    }
+}
+
+// codes: (F, 192, 140) uint8 HGR colour codes -> main: (F, 32, 256) uint8.
+void hgr_fit(const uint8_t* codes, int64_t F, uint8_t* main_out) {
+    memset(main_out, 0, (size_t)F * 32 * 256);
+    for (int64_t f = 0; f < F; f++) {
+        for (int y = 0; y < H; y++) {
+            const uint8_t* c = codes + (f * H + y) * W;
+            int page, off_base;
+            row_addr(y, &page, &off_base);
+            uint8_t* mrow = main_out + (f * 32 + page) * 256 + off_base;
+            // desired dots: 561 bits (dot 560 = 0 pad for the last byte's
+            // palette-on fit), dot d = bit (d & 3) of code[d >> 2]
+            uint8_t dots[561];
+            for (int x = 0; x < W; x++) {
+                uint8_t v = c[x] & 0xF;
+                dots[4 * x + 0] = v & 1;
+                dots[4 * x + 1] = (v >> 1) & 1;
+                dots[4 * x + 2] = (v >> 2) & 1;
+                dots[4 * x + 3] = (v >> 3) & 1;
+            }
+            dots[560] = 0;
+            for (int b = 0; b < 40; b++) {
+                const uint8_t* g = dots + b * 14;
+                int data0 = 0, cost0 = 0, data1 = 0, cost1 = g[0];
+                for (int k = 0; k < 7; k++) {
+                    // palette off: pair (2k, 2k+1)
+                    int a = g[2 * k], bb = g[2 * k + 1];
+                    int s = a + bb;
+                    int bit = (s == 1) ? a : (s > 1);
+                    data0 |= bit << k;
+                    cost0 += (a != bit) + (bb != bit);
+                    // palette on: pair (2k+1, 2k+2)
+                    a = g[2 * k + 1]; bb = g[2 * k + 2];
+                    s = a + bb;
+                    bit = (s == 1) ? a : (s > 1);
+                    data1 |= bit << k;
+                    cost1 += (a != bit) + (bb != bit);
+                }
+                mrow[b] = (cost1 < cost0) ? (uint8_t)(data1 | 0x80)
+                                          : (uint8_t)data0;
+            }
+        }
+    }
+}
+
+}  // extern "C"

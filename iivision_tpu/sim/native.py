@@ -1,4 +1,4 @@
-"""ctypes bindings for the native C++ helpers (dither kernel)."""
+"""ctypes bindings for the native C++ helpers (dither + host ingest)."""
 
 import ctypes
 import functools
@@ -54,3 +54,57 @@ def dither(rgb: np.ndarray, palette_rgb: np.ndarray,
         allowed_p, KERNELS.get(kernel, 0),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+@functools.lru_cache(None)
+def _ingest_lib():
+    src = os.path.join(_CSRC, "ingest_fast.cpp")
+    so = os.path.join(_CSRC, "libingest_fast.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
+    lib = ctypes.CDLL(so)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.quantize_fused.restype = None
+    lib.quantize_fused.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    lib.dhgr_pack.restype = None
+    lib.dhgr_pack.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    lib.hgr_fit.restype = None
+    lib.hgr_fit.argtypes = [u8p, ctypes.c_int64, u8p]
+    return lib
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def quantize_fused(rgb: np.ndarray, lut: np.ndarray) -> np.ndarray:
+    """(..., 192, 140, 3) uint8 RGB -> (..., 192, 140) uint8 codes via the
+    fused (bayer_cell, r5, g5, b5) LUT (dither._host_fused_lut)."""
+    lead = rgb.shape[:-3]
+    F = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = np.ascontiguousarray(rgb, np.uint8).reshape(F, 192, 140, 3)
+    out = np.empty((F, 192, 140), np.uint8)
+    _ingest_lib().quantize_fused(_u8p(flat), F, _u8p(lut), _u8p(out))
+    return out.reshape(lead + (192, 140))
+
+
+def dhgr_pack(codes: np.ndarray):
+    """(..., 192, 140) uint8 codes -> (main, aux) (..., 32, 256) uint8."""
+    lead = codes.shape[:-2]
+    F = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = np.ascontiguousarray(codes, np.uint8).reshape(F, 192, 140)
+    main = np.empty((F, 32, 256), np.uint8)
+    aux = np.empty((F, 32, 256), np.uint8)
+    _ingest_lib().dhgr_pack(_u8p(flat), F, _u8p(main), _u8p(aux))
+    return main.reshape(lead + (32, 256)), aux.reshape(lead + (32, 256))
+
+
+def hgr_fit(codes: np.ndarray) -> np.ndarray:
+    """(..., 192, 140) uint8 HGR codes -> (..., 32, 256) uint8 main."""
+    lead = codes.shape[:-2]
+    F = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = np.ascontiguousarray(codes, np.uint8).reshape(F, 192, 140)
+    main = np.empty((F, 32, 256), np.uint8)
+    _ingest_lib().hgr_fit(_u8p(flat), F, _u8p(main))
+    return main.reshape(lead + (32, 256))

@@ -197,3 +197,63 @@ def test_reference_cache_dir_naming():
     d = frames.reference_cache_dir("/x/movie.mp4", VideoMode.DHGR,
                                    Palette.NTSC)
     assert d == "/x/movie/DHGR/NTSC"
+
+
+# --- host (C++) quantize path -------------------------------------------------
+
+
+def test_host_quantize_close_to_device_and_pack_identical():
+    """The C++ fused-LUT host quantizer must agree with the device path on
+    all but borderline pixels (5-bit channel binning moves the dither
+    threshold by <= 4/255), and its packing must be bit-identical."""
+    from iivision_tpu.ops import dither
+
+    x = np.linspace(0, 255, 140)[None, :, None]
+    y = np.linspace(0, 255, 192)[:, None, None]
+    rgb = np.clip(np.concatenate(
+        [x + 0 * y, 255 - x + 0 * y, (x + y) / 2], axis=-1), 0,
+        255).astype(np.uint8)[None]
+
+    host = dither.quantize_ordered_host(rgb, Palette.NTSC)
+    dev = np.asarray(dither.quantize_ordered(rgb, Palette.NTSC))
+    assert (host != dev).mean() < 0.05
+
+    m_c, a_c = dither.dhgr_pack_host(host)
+    m_j, a_j = dither.dhgr_codes_to_memory(host.astype(np.int32))
+    assert np.array_equal(m_c, np.asarray(m_j))
+    assert np.array_equal(a_c, np.asarray(a_j))
+
+
+def test_host_quantize_quality_equivalent():
+    """Rendered quality of host vs device quantization must be equivalent
+    (the host path is a different dither threshold rounding, not a worse
+    quantizer)."""
+    from iivision_tpu import render
+    from iivision_tpu.ops import dither
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(6, 18, 3)).astype(np.uint8)
+    rgb = np.kron(base, np.ones((32, 8, 1))).astype(np.uint8)[None]
+    assert rgb.shape == (1, 192, 144, 3)
+    rgb = rgb[:, :, :140]
+
+    def psnr_of(codes):
+        m, a = dither.dhgr_pack_host(np.asarray(codes, np.uint8))
+        out = render.screen_to_rgb(m[0], a[0], VideoMode.DHGR, Palette.NTSC)
+        return render.psnr(np.asarray(out, np.float64), rgb[0])
+
+    p_host = psnr_of(dither.quantize_ordered_host(rgb, Palette.NTSC))
+    p_dev = psnr_of(np.asarray(dither.quantize_ordered(rgb, Palette.NTSC)))
+    assert abs(p_host - p_dev) < 0.3, (p_host, p_dev)
+
+
+def test_hgr_host_fit_bit_identical():
+    from iivision_tpu.ops import dither
+    from iivision_tpu.sim import native
+
+    rng = np.random.RandomState(5)
+    codes = rng.randint(0, 16, size=(3, 192, 140)).astype(np.uint8)
+    fit_np = np.asarray(dither.hgr_bytes_to_memory(
+        dither.hgr_dots_to_bytes(
+            dither.hgr_desired_dots(codes.astype(np.int32)))))
+    assert np.array_equal(native.hgr_fit(codes), fit_np.astype(np.uint8))
