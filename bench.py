@@ -131,7 +131,11 @@ def main():
     n = int(CLIP_SECONDS * 14700)
     tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700) * 16000)
 
-    def build_movie(phase=0.0):
+    def build_movie(phase=0.0, k=32, j=4):
+        # single-movie latency runs k=32,j=4 (fewer scan steps; quality
+        # still far ahead of the reference - bench_configs.py measures the
+        # tradeoff); the batched throughput sections below keep the
+        # fidelity-frontier k=16,j=4 config
         return Movie(
             frames_source=rgb_measured if phase else rgb,
             audio_source=audio_mod.Audio(
@@ -139,10 +143,8 @@ def main():
             every_n_video_frames=2,
             video_mode=VideoMode.DHGR,
             palette=Palette.NTSC,
-            # measured frontier (BENCH notes): k=16,j=4 beats the old
-            # k=32,j=1 on BOTH encode speed and replay error
-            k=16,
-            j=4,
+            k=k,
+            j=j,
             dist=dist,
         )
 
@@ -177,7 +179,11 @@ def main():
     import jax.numpy as jnp
     B = 32
     F_enc = len(m.frames.targets_main)
-    plan = m.plan
+    # batched sections run the fidelity-frontier k=16,j=4 config
+    plan, _ = encoder.plan_movie(
+        n_frames=m._n_frames_total, n_audio_ticks=len(m.audio.levels()),
+        input_frame_rate=m._input_rate, ticks_per_second=14700.0,
+        every_n_video_frames=2, mode=VideoMode.DHGR, k=16, j=4)
     levels_np = np.asarray(m.audio.levels())[:plan.n_ops]
     tone_dev = jnp.asarray(tone.astype(np.float32))
 
@@ -245,6 +251,103 @@ def main():
     res_p = PlayerVM().decode(streams[-1])
     assert res_p.ok, res_p.error
     batch_x = max(batch_x, pipe_x)
+
+    # --- host-fed batched throughput ---------------------------------------
+    # The full real-source pipeline for a batch: per-movie host frames
+    # ("decoded" as cheap distinct variants of the source clip) -> host C++
+    # resize-free quantize+pack -> one h2d of the 8KB/frame target banks ->
+    # batched device encode -> fetch -> emit.  Unlike the device-resident
+    # rows above, every stage a real deployment pays is in the wall time;
+    # on this harness the ~20MB/s tunnel makes the h2d the bound - the
+    # quantized-target transfer is ~6x smaller than shipping RGB would be.
+    from iivision_tpu import screen as screen_mod
+    from iivision_tpu.ops import dither as dither_mod
+
+    sel = rgb_measured[::2]  # every_n = 2, (F_enc, 192, 280, 3)
+    from iivision_tpu.ops import resize as resize_mod
+
+    def host_fed_targets(seed):
+        out = np.empty((B, F_enc, 2, 32, 256), np.uint8)
+        for i in range(B):
+            # decode stand-in: a distinct view of the source per movie
+            src = np.roll(sel, (seed + i * 7) % 280, axis=2)
+            rs = resize_mod.resize_batch(src, 192, 140)  # host PIL
+            codes = dither_mod.quantize_ordered_host(rs, Palette.NTSC)
+            m_, a_ = dither_mod.dhgr_pack_host(codes)
+            out[i, :, 0], out[i, :, 1] = m_, a_
+        return out
+
+    @jax.jit
+    def derive_targets(t):  # (B, F, 2, 32, 256) uint8 -> lanes + bytes
+        lanes = screen_mod.dhgr_masked_lanes(t[:, :, 0], t[:, :, 1])
+        return lanes, t.astype(jnp.int32)
+
+    def run_host_fed(seed):
+        t_h0 = time.time()
+        targets = host_fed_targets(seed)
+        host_s = time.time() - t_h0
+        lanes_b, bytes_b = derive_targets(jnp.asarray(targets))
+        ops_b, _, _ = pmesh.encode_movies_batch(
+            dist, lanes_b, bytes_b, plan, VideoMode.DHGR,
+            seeds=np.arange(seed, seed + B))
+        return ops_b, host_s
+
+    ops_b, _ = run_host_fed(1)  # warm-up/compile
+    streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+    res_h = PlayerVM().decode(streams[-1])
+    assert res_h.ok, res_h.error
+    host_fed_x = 0.0
+    for rep in range(2):
+        t0 = time.time()
+        ops_b, host_s = run_host_fed(100 + rep * B)
+        streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+        wall = time.time() - t0
+        rep_x = B * stats["movie_seconds"] / wall
+        host_fed_x = max(host_fed_x, rep_x)
+        log("host-fed B=%d rep %d: %.2fs wall (host decode+quantize "
+            "%.2fs) -> %.1fx realtime" % (B, rep, wall, host_s, rep_x))
+    res_h = PlayerVM().decode(streams[-1])
+    assert res_h.ok, res_h.error
+
+    # --- long-movie soak (streamed/chunked encode at realistic length) -----
+    soak_reps = 8
+    long_seconds = CLIP_SECONDS * soak_reps
+    nl = int(long_seconds * 14700)
+    long_tone = (np.sin(2 * np.pi * 330 * np.arange(nl) / 14700)
+                 * 16000).astype(np.float32)
+
+    def build_long(shift):
+        long_rgb = np.concatenate(
+            [np.roll(rgb_measured, 35 * i + shift, axis=2)
+             for i in range(soak_reps)])
+        return Movie(
+            frames_source=long_rgb,
+            audio_source=audio_mod.Audio(data=long_tone, rate=14700,
+                                         bitrate=14700),
+            every_n_video_frames=2, video_mode=VideoMode.DHGR,
+            palette=Palette.NTSC, k=16, j=4, dist=dist,
+            # larger stream segments for long movies: fewer synchronous
+            # device round trips per movie second
+            stream_chunk_frames=256)
+        # (1200 encoded frames -> 5 streamed segments, bounded HBM)
+
+    build_long(0).transcode("/tmp/bench_long.a2m")  # warm-up/compile
+    t0 = time.time()
+    m_long = build_long(17)
+    lstats = m_long.transcode("/tmp/bench_long.a2m")
+    long_wall = time.time() - t0
+    long_x = lstats["movie_seconds"] / long_wall
+    log("long movie %ds (%d encoded frames, %d ops): %.2fs wall -> "
+        "%.1fx realtime" % (long_seconds, len(m_long.frames.targets_main),
+                            lstats["n_ops"], long_wall, long_x))
+    data_long = open("/tmp/bench_long.a2m", "rb").read()
+    res_l = PlayerVM().decode(data_long)
+    assert res_l.ok, (res_l.error, res_l.error_pos)
+    from iivision_tpu.sim import machine65
+    mres = machine65.play_stream(data_long)
+    assert mres.exit_reason == "TERMINATED", mres.exit_reason
+    log("long movie 6502-machine validated: %d cycles, %d RECVs"
+        % (mres.cycles, mres.n_recv))
 
     headline = max(realtime_x, batch_x)
     print(json.dumps({

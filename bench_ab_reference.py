@@ -210,6 +210,59 @@ def synth_clip(seconds, fps=30, w=140, h=192):
     return rgb.astype(np.uint8)
 
 
+def synth_clip_noise(seconds, fps=30, w=140, h=192):
+    """Texture + text-like family: drifting noise field, scrolling
+    high-contrast glyph blocks, a static dithered panel."""
+    rng = np.random.RandomState(11)
+    F = max(int(seconds * fps), 1)
+    base = rng.randint(0, 256, size=(h + 32, w + 32, 3)).astype(np.uint8)
+    glyphs = (rng.rand(12, 8, 14) > 0.55)
+    rgb = np.zeros((F, h, w, 3), np.uint8)
+    for f in range(F):
+        dy, dx = (f * 2) % 32, (f * 3) % 32
+        rgb[f] = base[dy:dy + h, dx:dx + w]
+        # "text": rows of scrolling black-on-white glyph cells
+        for row in range(4):
+            y0 = 20 + row * 24
+            rgb[f, y0:y0 + 8, :] = 235
+            for col in range(9):
+                g = glyphs[(row * 9 + col + f // 3) % 12]
+                x0 = col * 15 + (f % 15)
+                if x0 + 14 <= w:
+                    cell = np.where(g[..., None], 20, 235)
+                    rgb[f, y0:y0 + 8, x0:x0 + 14] = cell
+        rgb[f, 150:] = ((np.indices((h - 150, w)).sum(0) % 2) * 255
+                        )[..., None]
+    return rgb
+
+
+def synth_clip_photo(seconds, fps=30, w=140, h=192):
+    """Photo-like family: smooth low-frequency colour blobs with slow
+    motion and soft edges (no hard geometry)."""
+    F = max(int(seconds * fps), 1)
+    yy = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 1, w, dtype=np.float32)[None, :]
+    rng = np.random.RandomState(5)
+    blobs = [(rng.rand(), rng.rand(), 0.08 + 0.3 * rng.rand(),
+              rng.rand(3) * 255, rng.rand() * 2 * np.pi)
+             for _ in range(7)]
+    rgb = np.zeros((F, h, w, 3), np.float32)
+    for f in range(F):
+        t = f / max(F, 2)
+        img = np.full((h, w, 3), (90.0, 80.0, 70.0), np.float32)
+        for (cy, cx, s, col, ph) in blobs:
+            y0 = cy + 0.2 * np.sin(2 * np.pi * t + ph)
+            x0 = cx + 0.2 * np.cos(2 * np.pi * t + ph)
+            g = np.exp(-(((yy - y0) ** 2 + (xx - x0) ** 2) / (2 * s * s)))
+            img += g[..., None] * (col - img) * 0.8
+        rgb[f] = img
+    return np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+CLIP_FAMILIES = {"bars": synth_clip, "noise": synth_clip_noise,
+                 "photo": synth_clip_photo}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="DHGR", choices=["DHGR", "HGR"])
@@ -217,6 +270,14 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--j", type=int, default=1)
     ap.add_argument("--every_n", type=int, default=2)
+    ap.add_argument("--clip", default="bars", choices=sorted(CLIP_FAMILIES),
+                    help="Synthetic content family for the shared targets.")
+    ap.add_argument("--colour_model", default="window",
+                    choices=["window", "yiq"],
+                    help="Distance basis OUR encoder optimises; both "
+                         "streams are always scored under the reference's "
+                         "window metric (and additionally under yiq when "
+                         "selected).")
     ap.add_argument("--workdir", default="/tmp/iiv_ab")
     ap.add_argument("--report", default=os.path.join(REPO, "AB_REPORT.md"))
     args = ap.parse_args(argv)
@@ -232,7 +293,7 @@ def main(argv=None):
     fps, tps = 30.0, 14700.0
 
     # shared targets: one quantization, both encoders
-    rgb = synth_clip(args.seconds, fps=int(fps))
+    rgb = CLIP_FAMILIES[args.clip](args.seconds, fps=int(fps))
     mf = frames.ingest(rgb, mode, palette,
                        every_n_video_frames=args.every_n, frame_rate=fps)
     plan, n_enc = encoder.plan_movie(
@@ -243,11 +304,13 @@ def main(argv=None):
     tgt_aux = None if mf.targets_aux is None else mf.targets_aux[:n_enc]
     lanes_tgt, bytes_tgt = encoder.prepare_targets(tgt_main, tgt_aux, mode)
     dist = get_distance(mode, palette, "window")
+    dist_enc = (dist if args.colour_model == "window"
+                else get_distance(mode, palette, args.colour_model))
 
     # ours
     t0 = time.time()
     ops_dev, fin_m, fin_a = encoder.encode_movie(
-        dist, lanes_tgt, bytes_tgt, plan, mode, seed=0)
+        dist_enc, lanes_tgt, bytes_tgt, plan, mode, seed=0)
     flat_ours = encoder.flatten_ops(np.asarray(ops_dev), plan)
     ours_s = time.time() - t0
     print("ours: %d ops in %.1fs" % (len(flat_ours), ours_s),
@@ -271,15 +334,25 @@ def main(argv=None):
     assert len(flat_ref) == len(flat_ours) == plan.n_ops, (
         len(flat_ref), len(flat_ours), plan.n_ops)
 
-    # score both with the same replayed metric
+    # score both with the same replayed metric (the reference's window
+    # basis - neutral ground even when ours optimised yiq)
     rep_ours = quality.replay_frame_errors(flat_ours, plan, lanes_tgt,
                                            mode, dist)
     rep_ref = quality.replay_frame_errors(flat_ref, plan, lanes_tgt,
                                           mode, dist)
+    yiq_scores = None
+    if args.colour_model == "yiq":
+        ry_ours = quality.replay_frame_errors(flat_ours, plan, lanes_tgt,
+                                              mode, dist_enc)
+        ry_ref = quality.replay_frame_errors(flat_ref, plan, lanes_tgt,
+                                             mode, dist_enc)
+        yiq_scores = (ry_ours, ry_ref)
 
     movie_seconds = plan.n_ops / tps
     summary = {
         "mode": args.mode,
+        "clip": args.clip,
+        "colour_model": args.colour_model,
         "k": args.k, "j": args.j,
         "n_ops": int(plan.n_ops),
         "movie_seconds": round(movie_seconds, 2),
@@ -293,10 +366,15 @@ def main(argv=None):
             rep_ref.mean_error / max(rep_ours.mean_error, 1e-9), 3),
         "speedup": round(ref_s / max(ours_s, 1e-9), 1),
     }
+    if yiq_scores:
+        summary["ours_mean_error_yiq"] = round(yiq_scores[0].mean_error, 4)
+        summary["ref_mean_error_yiq"] = round(yiq_scores[1].mean_error, 4)
 
     with open(args.report, "a") as f:
-        f.write("\n## %s A/B (%.1fs clip, k=%d, j=%d, every_n=%d) — %s\n\n"
-                % (args.mode, movie_seconds, args.k, args.j, args.every_n,
+        f.write("\n## %s A/B (%.1fs '%s' clip, k=%d, j=%d, every_n=%d, "
+                "colour_model=%s) — %s\n\n"
+                % (args.mode, movie_seconds, args.clip, args.k, args.j,
+                   args.every_n, args.colour_model,
                    time.strftime("%Y-%m-%d %H:%M")))
         f.write("Same quantized targets, same tick/bank schedule, same %d-op"
                 " budget; scored by replaying both streams and measuring the"
@@ -313,6 +391,13 @@ def main(argv=None):
         f.write("\nfidelity ratio (ref/ours mean error, >1 = ours better):"
                 " **%.3f**; encode speedup: **%.1fx**\n"
                 % (summary["fidelity_ratio_mean"], summary["speedup"]))
+        if yiq_scores:
+            f.write("\nunder the NTSC-composite YIQ metric (the basis ours"
+                    " optimised): ours %.4f vs reference %.4f mean error"
+                    " (ratio %.3f)\n"
+                    % (yiq_scores[0].mean_error, yiq_scores[1].mean_error,
+                       yiq_scores[1].mean_error
+                       / max(yiq_scores[0].mean_error, 1e-9)))
 
     print(json.dumps(summary))
     return summary

@@ -591,6 +591,125 @@ aux).
     return np.concatenate(ops_all, axis=0), main, aux
 
 
+def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
+                           seed: Optional[int] = 0,
+                           chunk_frames: int = 64):
+    """Encode while targets stream in: device scans overlap host ingestion.
+
+    batches: iterator of (main (B,32,256) uint8, aux|None) target batches
+    (any sizes; concatenation must cover the plan's frames).  The plan is
+    split at `chunk_frames` encoded-frame boundaries exactly like
+    encode_movie_chunked; segment i's scan runs on device while the host
+    quantizes segment i+1's frames and fetches segment i-1's ops - the
+    pipelining that takes single-movie transcode latency off the sum of
+    its stages.  Output is bit-identical to encode_movie (same seed):
+    same chunk machinery, same absolute step indices.
+
+    Returns (flat_ops_per_segment list, final main, final aux,
+    accumulated (targets_main, targets_aux) host arrays).
+    """
+    import jax.numpy as jnp
+
+    from iivision_tpu.ops import distance as dist_mod
+
+    if chunk_frames <= 0:
+        raise ValueError("chunk_frames must be positive")
+    n_banks = 2 if mode == VideoMode.DHGR else 1
+    sf = plan.step_frame
+    f_max = int(sf.max())
+    bounds = list(range(0, f_max + 1, chunk_frames)) + [f_max + 1]
+    ranges = [(f0, f1, int(np.searchsorted(sf, f0)),
+               int(np.searchsorted(sf, f1)))
+              for f0, f1 in zip(bounds[:-1], bounds[1:])]
+    S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
+    F_pad = min(chunk_frames, f_max + 1)
+
+    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j)
+    import jax
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    store_cost = jnp.asarray(dist.store_cost)
+    sub = jnp.asarray(dist.sub)
+    zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
+    banks, up, dw = zero, zero, zero
+    sc = jnp.zeros((32 * dist_mod.n_contents(mode), 256), jnp.int16)
+
+    acc_main, acc_aux = [], []  # all pulled batches (host copies)
+    buf_main, buf_aux = [], []  # not-yet-consumed frames
+    buffered = 0
+    batches = iter(batches)
+
+    def pull_frames(need):
+        nonlocal buffered
+        while buffered < need:
+            try:
+                bm, ba = next(batches)
+            except StopIteration:
+                raise ValueError(
+                    "target stream ended %d frames short" % (need - buffered))
+            bm = np.asarray(bm, np.uint8)
+            acc_main.append(bm)
+            buf_main.append(bm)
+            if ba is not None:
+                ba = np.asarray(ba, np.uint8)
+                acc_aux.append(ba)
+                buf_aux.append(ba)
+            buffered += len(bm)
+        out_m = np.concatenate(buf_main) if len(buf_main) > 1 else buf_main[0]
+        out_a = None
+        if buf_aux:
+            out_a = (np.concatenate(buf_aux) if len(buf_aux) > 1
+                     else buf_aux[0])
+        take_m, rest_m = out_m[:need], out_m[need:]
+        buf_main[:] = [rest_m] if len(rest_m) else []
+        if out_a is not None:
+            buf_aux[:] = [out_a[need:]] if len(out_a) > need else []
+            out_a = out_a[:need]
+        buffered -= need
+        return take_m, out_a
+
+    def pad_frames(a):
+        if a is None:
+            return None
+        out = np.zeros((F_pad,) + a.shape[1:], a.dtype)
+        out[:len(a)] = a
+        return out
+
+    ops_out = []
+    pending = None  # (device ops handle, real step count)
+    for f0, f1, s0, s1 in ranges:
+        S = s1 - s0
+        fm, fa = pull_frames(f1 - f0)
+        lanes_c, bytes_c = prepare_targets(pad_frames(fm), pad_frames(fa),
+                                           mode)
+
+        def pad_steps(a, fill):
+            out = np.full(S_pad, fill, a.dtype)
+            out[:S] = a[s0:s1]
+            return jnp.asarray(out)
+
+        ops_c, banks, up, dw, sc = fn(
+            store_cost, sub, lanes_c, bytes_c,
+            pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
+            pad_steps(plan.step_bank, int(plan.step_bank[s1 - 1])),
+            pad_steps(plan.step_recompute, False),
+            pad_steps(plan.step_nvalid, 0),
+            pad_steps(np.arange(len(sf), dtype=np.int32), 0),
+            banks, up, dw, sc, key)
+        if pending is not None:
+            # fetch the previous segment's ops while this one runs
+            ops_out.append(np.asarray(pending[0])[:pending[1]])
+        pending = (ops_c, S)
+    ops_out.append(np.asarray(pending[0])[:pending[1]])
+
+    tgt_main = np.concatenate(acc_main) if len(acc_main) > 1 else acc_main[0]
+    tgt_aux = (np.concatenate(acc_aux) if len(acc_aux) > 1 else
+               acc_aux[0]) if acc_aux else None
+    main = np.asarray(banks[0])
+    aux = np.asarray(banks[n_banks - 1])
+    return (np.concatenate(ops_out, axis=0), main, aux,
+            tgt_main, tgt_aux)
+
+
 def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:
     """(S, K*J, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only."""
     S, k, _ = ops.shape

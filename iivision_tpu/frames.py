@@ -225,6 +225,57 @@ def load_reference_cache(cache_dir: str, mode: VideoMode):
 
 # --- the ingest pipeline ------------------------------------------------------
 
+def ingest_stream_array(source: np.ndarray, mode: VideoMode,
+                        palette: Palette, every_n_video_frames: int = 1,
+                        batch: Optional[int] = None):
+    """Generator of quantized (main, aux) uint8 target batches for an
+    in-memory (F, H, W, 3) source - the producer side of the streaming
+    transcode pipeline (encoder.encode_movie_streaming).
+
+    Resize + quantize run in a producer THREAD: the consumer's device
+    round-trips block on the (GIL-releasing) tunnel I/O while the
+    producer's C++ quantize (also GIL-releasing) fills the queue, so host
+    ingestion genuinely overlaps device encode even on one core - the
+    remote backend's dispatches are synchronous, so async-dispatch
+    overlap is not available.
+    """
+    sel = source[::every_n_video_frames]
+    b = batch or DECODE_BATCH
+    q = queue.Queue(maxsize=QUEUE_BATCHES)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for i in range(0, len(sel), b):
+                if stop.is_set():
+                    return
+                chunk = [np.asarray(f, np.uint8) for f in sel[i:i + b]]
+                item = ("batch", _quantize_batch(
+                    _resize_stack(chunk), mode, palette, "ordered"))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+            q.put(("done", None))
+        except BaseException as e:
+            q.put(("error", e))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, payload = q.get()
+            if kind == "error":
+                raise payload
+            if kind == "done":
+                return
+            yield payload
+    finally:
+        stop.set()
+
+
 def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:
     base = os.path.splitext(path)[0]
     tag = "%s_%s_n%d_%s" % (mode.name, palette.name, every_n, dither_name)

@@ -20,6 +20,12 @@ from iivision_tpu.stream.framing import StreamFramer
 from iivision_tpu.stream.opcodes import Header
 from iivision_tpu.video_mode import VideoMode
 
+# In-memory sources with more encoded frames than this use the segmented
+# streaming encoder (encoder.encode_movie_streaming); at or below it, one
+# unchunked whole-movie scan wins (measured: segment round trips cost more
+# than ingest/encode overlap buys on short movies).
+STREAM_MIN_FRAMES = 256
+
 
 def get_distance(mode: VideoMode, palette: Palette,
                  model: str = "window"):
@@ -55,6 +61,7 @@ class Movie:
             frame_rate: Optional[float] = None,
             chunk_frames: Optional[int] = None,
             colour_model: str = "window",
+            stream_chunk_frames: int = 64,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -68,15 +75,30 @@ class Movie:
         # segment very long movies so device-resident targets stay bounded
         # in HBM; None = auto (chunk past 1024 encoded frames)
         self.chunk_frames = chunk_frames
+        self.stream_chunk_frames = stream_chunk_frames
         self.timings = {}
 
         t0 = time.time()
-        self.frames = frames.ingest(
-            frames_source if frames_source is not None else filename,
-            video_mode, palette,
-            every_n_video_frames=every_n_video_frames,
-            dither_mode=dither_mode,
-            frame_rate=frame_rate)
+        source = frames_source if frames_source is not None else filename
+        # streaming transcode: for in-memory sources with the ordered
+        # dither, defer ingestion into encode_ops so host quantization of
+        # segment i+1 overlaps the device encode of segment i
+        # (encoder.encode_movie_streaming); bit-identical output.
+        self._stream_source = None
+        if (isinstance(source, np.ndarray) and dither_mode == "ordered"
+                and chunk_frames is None):
+            self._stream_source = source
+            self.frames = None
+            self._n_frames_total = len(source)
+            self._input_rate = float(frame_rate or 30.0)
+        else:
+            self.frames = frames.ingest(
+                source, video_mode, palette,
+                every_n_video_frames=every_n_video_frames,
+                dither_mode=dither_mode,
+                frame_rate=frame_rate)
+            self._n_frames_total = self.frames.n_frames_total
+            self._input_rate = self.frames.input_frame_rate
         self.timings["frames_s"] = time.time() - t0
 
         t0 = time.time()
@@ -89,8 +111,7 @@ class Movie:
                     normalization=audio_normalization)
             except Exception:
                 # no audio track: silent stream covering the whole video
-                seconds = (self.frames.n_frames_total
-                           / self.frames.input_frame_rate)
+                seconds = (self._n_frames_total / self._input_rate)
                 self.audio = audio_mod.Audio(
                     data=np.zeros(int(seconds * audio_bitrate) + 1,
                                   np.float32),
@@ -108,12 +129,56 @@ class Movie:
         t0 = time.time()
         levels = np.asarray(self.audio.levels())
         plan, n_enc = encoder.plan_movie(
-            n_frames=self.frames.n_frames_total,
+            n_frames=self._n_frames_total,
             n_audio_ticks=len(levels),
-            input_frame_rate=self.frames.input_frame_rate,
+            input_frame_rate=self._input_rate,
             ticks_per_second=self.audio.sample_rate,
             every_n_video_frames=self.every_n_video_frames,
             mode=self.video_mode, k=self.k, j=self.j)
+        self.timings["plan_s"] = time.time() - t0
+
+        if self._stream_source is not None:
+            t0 = time.time()
+            gen = frames.ingest_stream_array(
+                self._stream_source, self.video_mode, self.palette,
+                every_n_video_frames=self.every_n_video_frames)
+            if n_enc > STREAM_MIN_FRAMES:
+                # long movie: segmented streaming encode - bounded device
+                # memory, host quantize of segment i+1 overlapping the
+                # device scan of segment i
+                ops_dev, fin_main, fin_aux, tm, ta = \
+                    encoder.encode_movie_streaming(
+                        self.dist, gen, plan, self.video_mode,
+                        seed=self.seed,
+                        chunk_frames=self.stream_chunk_frames)
+                self.frames = frames.MovieFrames(
+                    targets_main=tm, targets_aux=ta,
+                    n_frames_total=self._n_frames_total,
+                    input_frame_rate=self._input_rate)
+                flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
+                self.timings["encode_s"] = time.time() - t0
+                self.final_main = np.asarray(fin_main)
+                self.final_aux = np.asarray(fin_aux)
+                self.plan = plan
+                return flat, levels[:plan.n_ops]
+            # short movie: materialize targets (same threaded host
+            # pipeline) and run the single unchunked whole-movie scan -
+            # measured faster than segmenting at this length (the remote
+            # backend's synchronous dispatch makes per-segment round
+            # trips cost more than the overlap they buy)
+            parts = list(gen)
+            tm = np.concatenate([m for m, _ in parts]) \
+                if len(parts) > 1 else parts[0][0]
+            ta = None
+            if self.video_mode == VideoMode.DHGR:
+                ta = np.concatenate([a for _, a in parts]) \
+                    if len(parts) > 1 else parts[0][1]
+            self.frames = frames.MovieFrames(
+                targets_main=tm, targets_aux=ta,
+                n_frames_total=self._n_frames_total,
+                input_frame_rate=self._input_rate)
+            self.timings["frames_s"] += time.time() - t0
+
         assert n_enc <= len(self.frames.targets_main), (
             n_enc, len(self.frames.targets_main))
         tgt_main = self.frames.targets_main[:max(n_enc, 1)]
@@ -125,8 +190,6 @@ class Movie:
                              % (chunk,))
         if chunk is None and n_enc > 1024:
             chunk = 512  # auto-segment long movies
-        self.timings["plan_s"] = time.time() - t0
-
         t0 = time.time()
         if chunk:
             ops_dev, fin_main, fin_aux = encoder.encode_movie_chunked(

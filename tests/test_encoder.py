@@ -219,3 +219,42 @@ def test_encode_stream_quality_and_vm():
     data = emit_stream_fast(flat, np.zeros(plan.n_ops, np.int32), mode)
     res = PlayerVM().decode(data)
     assert res.ok, (res.error, res.error_pos)
+
+
+def test_streaming_encode_bit_identical_and_buffering():
+    """encode_movie_streaming must equal encode_movie bit-for-bit across
+    segment boundaries, regardless of how the target stream is batched."""
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    F = 11
+    main, aux = random_frames(mode, F, seed=3)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=F, n_audio_ticks=4500, input_frame_rate=36.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode,
+        k=4, j=2)
+    assert n_enc == F
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(main, aux, mode)
+    ops_ref, m_ref, a_ref = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=5)
+    flat_ref = encoder.flatten_ops(np.asarray(ops_ref), plan)
+
+    for batch_sizes in [(3, 3, 3, 2), (1,) * 11, (11,), (5, 6)]:
+        def gen():
+            pos = 0
+            for b in batch_sizes:
+                yield main[pos:pos + b], aux[pos:pos + b]
+                pos += b
+        ops_s, m_s, a_s, tm, ta = encoder.encode_movie_streaming(
+            dist, gen(), plan, mode, seed=5, chunk_frames=4)
+        flat_s = encoder.flatten_ops(np.asarray(ops_s), plan)
+        assert np.array_equal(flat_s, flat_ref), batch_sizes
+        assert np.array_equal(m_s, np.asarray(m_ref))
+        assert np.array_equal(a_s, np.asarray(a_ref))
+        assert np.array_equal(tm, main) and np.array_equal(ta, aux)
+
+    # a stream that ends short must raise, not truncate silently
+    def short():
+        yield main[:4], aux[:4]
+    with pytest.raises(ValueError, match="short"):
+        encoder.encode_movie_streaming(dist, short(), plan, mode,
+                                       seed=5, chunk_frames=4)

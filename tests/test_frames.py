@@ -257,3 +257,59 @@ def test_hgr_host_fit_bit_identical():
         dither.hgr_dots_to_bytes(
             dither.hgr_desired_dots(codes.astype(np.int32)))))
     assert np.array_equal(native.hgr_fit(codes), fit_np.astype(np.uint8))
+
+
+# --- quantizer comparison harness (bmp2dhr parity scaffolding) ----------------
+
+
+def test_compare_quantizers_harness(tmp_path):
+    """The image-level comparison harness scores our quantizers and any
+    reference bmp2dhr cache; with a synthetic cache built from the native
+    buckels kernel, the cache row must reproduce the buckels row."""
+    from iivision_tpu import compare_quantizers
+    from iivision_tpu.ops import dither, resize as resize_mod
+
+    fixture = "tests/fixtures/parity_frames.npz"
+    src280 = compare_quantizers.load_frames(fixture, 2)
+    src140 = resize_mod.resize_batch(src280, 192, 140)
+
+    cache = tmp_path / "m" / "DHGR" / "NTSC"
+    cache.mkdir(parents=True)
+    for i in range(2):
+        c = dither.quantize_error_diffusion(
+            src140[i].astype(np.float32), Palette.NTSC, kernel="buckels")
+        m, a = dither.dhgr_pack_host(np.asarray(c, np.uint8)[None])
+        m[0].tofile(str(cache / ("%08d.BIN" % i)))
+        a[0].tofile(str(cache / ("%08d.AUX" % i)))
+
+    rows = dict(compare_quantizers.compare(
+        fixture, VideoMode.DHGR, Palette.NTSC, n_frames=2,
+        reference_cache=str(cache)))
+    assert {"ordered", "buckels", "atkinson", "jarvis",
+            "bmp2dhr_cache"} <= set(rows)
+    assert abs(rows["bmp2dhr_cache"]["psnr"] - rows["buckels"]["psnr"]) < 1e-9
+    for s in rows.values():
+        assert 5.0 < s["psnr"] < 40.0
+        assert 0.0 < s["cie2000"] < 60.0
+
+    table = compare_quantizers.format_table(
+        sorted(rows.items()), VideoMode.DHGR, Palette.NTSC, fixture, 2)
+    assert "bmp2dhr_cache" in table and "| quantizer |" in table
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/usr/local/bin/bmp2dhr"),
+    reason="bmp2dhr binary not present in this environment")
+def test_compare_quantizers_real_bmp2dhr():
+    """Image-level parity vs the real bmp2dhr binary (runs wherever one is
+    installed; the AB_REPORT row comes from the CLI)."""
+    from iivision_tpu import compare_quantizers
+
+    rows = dict(compare_quantizers.compare(
+        "tests/fixtures/parity_frames.npz", VideoMode.DHGR, Palette.NTSC,
+        n_frames=2, bmp2dhr="/usr/local/bin/bmp2dhr"))
+    assert "bmp2dhr_D9" in rows
+    best_ours = max(s["psnr"] for n, s in rows.items()
+                    if n != "bmp2dhr_D9")
+    # quality-parity clause: our best quantizer within 1dB of bmp2dhr
+    assert best_ours >= rows["bmp2dhr_D9"]["psnr"] - 1.0
