@@ -70,20 +70,24 @@ from iivision_tpu.stream import opcodes as ops_mod
 from iivision_tpu.video_mode import VideoMode
 
 OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
-SCAN_UNROLL = 2  # plan steps per scan body: amortizes the scan's fixed
-# per-iteration overhead (measured on v5e, B=32 DHGR k=16 j=4: 1.64s ->
-# 1.57s at 2, 1.52s at 4; outputs bit-identical at any value; 2 balances
-# the win against compile-time growth of the 2x-larger scan body)
+BODY_CAP = 8  # max plan steps unrolled per scan body: bodies tile chunks
+# (a chunk shorter than the cap gets exactly one body), bounding compile
+# time for small-K configs whose chunks span tens of steps
 
 
 # --- host-side movie planning -------------------------------------------------
 
 @dataclass
 class MoviePlan:
-    """Static per-step schedule driving the encoder scan (all numpy)."""
+    """Static per-step schedule driving the encoder scan (all numpy).
+
+    Steps are laid out chunk-major: every (frame, bank) chunk spans exactly
+    `chunk_steps` consecutive steps (tail steps padded with nvalid=0), and
+    step_recompute is True exactly on each chunk's first step."""
     n_ops: int
     k: int  # pages per step
     j: int  # ops per page per step (ops/step = k*j)
+    chunk_steps: int  # scan steps per (frame, bank) chunk (uniform)
     step_frame: np.ndarray  # (S,) int32: index into the stacked targets
     step_bank: np.ndarray  # (S,) int32: 0=main, 1=aux
     step_recompute: np.ndarray  # (S,) bool: recompute diff+priority
@@ -136,20 +140,33 @@ def plan_movie(
     chunk_ends = np.append(chunk_starts[1:], n_ops)
 
     ops_per_step = k * j
+    # chunk-major padded layout: every (frame, bank) chunk occupies exactly
+    # `chunk_steps` scan steps (the max any chunk needs), tail steps padded
+    # with nvalid=0 no-ops.  This lets the encode scan run one chunk per
+    # loop body with the chunk-start recompute hoisted OUT of the per-step
+    # code - crucial under vmap, where a per-step lax.cond lowers to a
+    # select that would execute the expensive recompute branch (diff DP +
+    # slab build) on every step for every movie in the batch.
+    lengths = chunk_ends - chunk_starts
+    n_steps_per_chunk = -(-lengths // ops_per_step)
+    body_steps = min(int(n_steps_per_chunk.max()), BODY_CAP)
     sf, sb, sr, sn = [], [], [], []
     for cs, ce in zip(chunk_starts, chunk_ends):
         length = ce - cs
-        n_steps = -(-length // ops_per_step)
-        for s in range(n_steps):
+        n_chunk = -(-length // ops_per_step)
+        n_steps = -(-n_chunk // body_steps) * body_steps
+        for st in range(n_steps):
             sf.append(encoded[cs])
             sb.append(bank[cs])
-            sr.append(s == 0)
-            sn.append(min(ops_per_step, length - s * ops_per_step))
+            sr.append(st == 0)
+            sn.append(int(np.clip(length - st * ops_per_step,
+                                  0, ops_per_step)))
 
     return MoviePlan(
         n_ops=n_ops,
         k=k,
         j=j,
+        chunk_steps=body_steps,
         step_frame=np.asarray(sf, dtype=np.int32),
         step_bank=np.asarray(sb, dtype=np.int32),
         step_recompute=np.asarray(sr, dtype=bool),
@@ -185,7 +202,7 @@ def prepare_targets(frames_main: np.ndarray,
 # --- the scan -------------------------------------------------------------------
 
 def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
-                       j: int = 1):
+                       j: int = 1, chunk_steps: int = 1):
     """Construct the whole-movie encode function for (mode, K, J).
 
     k = pages selected per step; j = ops emitted per selected page per
@@ -193,6 +210,16 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
     previous sub-ops' updates exactly as consecutive steps would).
     deterministic=True replaces random tie-break nonces with zeros (ties
     resolve to lowest index) - for differential testing vs the host oracle.
+
+    The scan iterates `chunk_steps` plan steps per loop body; the plan
+    pads every (frame, bank) chunk to a multiple of that length, so chunk
+    starts always fall on body boundaries.  The chunk-start recompute
+    (diff DP + store-cost slab) runs at most once per BODY and the active
+    bank's state rows are extracted/written back once per body - under
+    vmap a per-step cond would lower to a select executing the recompute
+    on EVERY step of every movie, which dominated the batched encode
+    cost.  Long chunks (small K*J) span several bodies; continuation
+    bodies reuse the slab carried in scan state.
     """
     import jax
     import jax.numpy as jnp
@@ -200,7 +227,6 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
     spec = screen.spec_for_mode(mode)
     n_lanes = int(spec.N_LANES)
     n_banks = 2 if mode == VideoMode.DHGR else 1
-    N = 1 << int(spec.MASKED_BITS)
     C = distance.n_contents(mode)
     holes_i = jnp.asarray((~screen.SCREEN_HOLES).astype(np.int32))
 
@@ -255,6 +281,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     step_index=None, init_state=None, return_state=False):
         store_cost16 = store_cost.astype(jnp.int16)  # costs < 2^12
         S = step_frame.shape[0]
+        Sc = chunk_steps
+        if S % Sc != 0:
+            raise ValueError("plan steps (%d) not a multiple of the "
+                             "chunk length (%d)" % (S, Sc))
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
         if init_state is None:
             state0 = dict(banks=zero, up=zero, dw=zero,
@@ -265,16 +295,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
-        def step(state, xs):
-            step_i, frame, bank, recompute, nvalid = xs
-            skey = jax.random.fold_in(key, step_i)
-
-            def nonce(sub_i, shape):
-                if deterministic:
-                    return jnp.zeros(shape, jnp.float32)
-                return jax.random.uniform(
-                    jax.random.fold_in(skey, sub_i), shape, jnp.float32)
-
+        def chunk_body(state, xs):
+            step_is, frames_x, banks_x, recs_x, nvalids_x = xs  # each (Sc,)
+            frame = frames_x[0]
+            bank = banks_x[0]
+            recompute = recs_x[0]
             tl = lanes_tgt[frame]  # (32, 128, n_lanes)
             tb = bytes_tgt[frame, bank]  # (32, 256) int32
             bank_c = jnp.clip(bank, 0, n_banks - 1)
@@ -283,9 +308,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 state["up"], bank_c, 0, keepdims=False)
             dw_b = jax.lax.dynamic_index_in_dim(
                 state["dw"], bank_c, 0, keepdims=False)
+            by_b = jax.lax.dynamic_index_in_dim(
+                state["banks"], bank_c, 0, keepdims=False)
 
             # -- chunk-start recompute: on-the-fly DP diff + cost slab ------
-            def do_recompute(up, dw, slab):
+            def do_recompute(up, dw):
                 cur = lanes_of(state["banks"])
                 d = diff_bank(cur, tl, bank, sub) * holes_i
                 # slab row p*C + c = costs of storing content c over page
@@ -294,155 +321,151 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     0, 2, 1).reshape(32 * C, 256)
                 return jnp.where(d == 0, 0, up) + d, d, new_slab
 
-            up_b, dw_b, slab = jax.lax.cond(
-                recompute, do_recompute, lambda u, d, s: (u, d, s),
-                up_b, dw_b, state["sc"])
+            def no_recompute(up, dw):
+                # continuation body of a long chunk (or a padded no-op
+                # chunk): keep the carried slab
+                return up, dw, state["sc"]
 
-            # -- page selection --------------------------------------------
-            page_max = jnp.max(up_b, axis=1)  # (32,)
-            page_score = (page_max.astype(jnp.float32) * 256.0
-                          + nonce(0, (32,)) * 255.0)
-            _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
-            P = (pages[:, None] == iota_k32).astype(jnp.float32)  # (K, 32)
+            up_bf, dw_bf, slab = jax.lax.cond(
+                recompute, do_recompute, no_recompute, up_b, dw_b)
+            up_b = up_bf.astype(jnp.float32)
+            dw_b = dw_bf.astype(jnp.float32)
+            by_b = by_b.astype(jnp.float32)
+            tb_f = tb.astype(jnp.float32)
 
-            bank_bytes = jax.lax.dynamic_index_in_dim(
-                state["banks"], bank_c, 0, keepdims=False)
-
-            # one fused page-row extraction for up/dw/target/screen bytes.
-            # HIGHEST precision: TPU's default single-pass bf16 matmul
-            # rounds the extracted VALUES (priorities exceed bf16's exact
-            # integer range), silently changing selections vs the host
-            # oracle; with HIGHEST, CPU and TPU streams are bit-identical.
-            stacked = jnp.concatenate(
-                [up_b, dw_b, tb, bank_bytes],
-                axis=1).astype(jnp.float32)  # (32, 1024)
-            proj = jnp.dot(P, stacked,
-                           precision=jax.lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)  # (K, 1024)
-            up_p, dw_p = proj[:, :256], proj[:, 256:512]
-            tb_p, by_p = proj[:, 512:768], proj[:, 768:]
-
-            # -- j sequential op selections on the extracted page rows ------
-            # each sub-op sees the previous sub-ops' local updates, exactly
-            # as consecutive scan steps would on the same pages
-            op_recs = []
             pad_content = tb[0, 0]
-            for jj in range(j):
-                has_work = jnp.max(up_p, axis=1) > 0.0
-                real = has_work & (jj * k + iota_k < nvalid)
-                realf = real.astype(jnp.float32)[:, None]
+            recs_out = []
+            for u in range(Sc):
+                skey = jax.random.fold_in(key, step_is[u])
+                nvalid = nvalids_x[u]
 
-                off_score = up_p * 256.0 + nonce(1 + jj, (k, 256)) * 255.0
-                offset0 = jnp.argmax(off_score, axis=1)  # (K,)
-                off0_oh = (offset0[:, None] == iota_256).astype(jnp.float32)
-                content = jnp.sum(tb_p * off0_oh, axis=1).astype(jnp.int32)
+                def nonce(sub_i, shape, skey=skey):
+                    if deterministic:
+                        return jnp.zeros(shape, jnp.float32)
+                    return jax.random.uniform(
+                        jax.random.fold_in(skey, sub_i), shape,
+                        jnp.float32)
 
-                # companions: rank ALL offsets against the LIVE diff.
-                # sc rows for each slot's (page, content): contiguous-row
-                # gathers from the bank's cost slab - the same semantics as
-                # the reference's per-op compute_delta_page (video.py:275-301)
-                rows = pages * C + content  # (K,)
-                sc_row = jnp.take(slab, rows, axis=0).astype(
-                    jnp.float32)  # (K, 256)
-                # eligible: still-pending offset (up>0 also excludes screen
-                # holes, which never take priority) that the store improves
-                score = dw_p - sc_row
-                elig = (up_p > 0.0) & (score > 0.0) \
-                    & (iota_256 != offset0[:, None])
-                s = jnp.where(elig, score, -1.0)
-                oh_sel, off_sel, resid_sel = [], [], []
-                for _ in range(3):  # best three, ties to lowest offset
-                    o = jnp.argmax(s, axis=1)
-                    oh = (o[:, None] == iota_256).astype(jnp.float32)
-                    hit = jnp.sum(s * oh, axis=1) > 0.0
-                    hitf = hit.astype(jnp.float32)[:, None]
-                    off_sel.append(jnp.where(hit, o, offset0))
-                    oh_sel.append(oh * hitf)
-                    resid_sel.append(jnp.sum(sc_row * oh, axis=1)
-                                     * hit.astype(jnp.float32))
-                    s = jnp.where(oh > 0, -1.0, s)
-                acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]  # disjoint 0/1
-                resid_rows = (oh_sel[0] * resid_sel[0][:, None]
-                              + oh_sel[1] * resid_sel[1][:, None]
-                              + oh_sel[2] * resid_sel[2][:, None])
-                off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
+                # -- page selection ------------------------------------
+                page_max = jnp.max(up_b, axis=1)  # (32,)
+                page_score = page_max * 256.0 + nonce(0, (32,)) * 255.0
+                _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
+                P = (pages[:, None] == iota_k32).astype(jnp.float32)
 
-                # local page-row updates (gated so padding sub-ops are
-                # no-ops): primary clears up+dw, companions take residuals,
-                # stored cells take the content byte
-                umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
-                up_p = up_p * (1.0 - umask) + resid_rows * realf
-                dw_p = dw_p * (1.0 - off0_oh * realf)
-                by_p = by_p * (1.0 - umask) \
-                    + umask * content[:, None].astype(jnp.float32)
+                # one fused page-row extraction for up/dw/target/screen
+                # bytes.  HIGHEST precision: TPU's default single-pass
+                # bf16 matmul rounds the extracted VALUES (priorities
+                # exceed bf16's exact integer range), silently changing
+                # selections vs the host oracle; with HIGHEST, CPU and
+                # TPU streams are bit-identical.
+                stacked = jnp.concatenate(
+                    [up_b, dw_b, tb_f, by_b], axis=1)  # (32, 1024)
+                proj = jnp.dot(P, stacked,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+                up_p, dw_p = proj[:, :256], proj[:, 256:512]
+                tb_p, by_p = proj[:, 512:768], proj[:, 768:]
 
-                all_off = jnp.concatenate(
-                    [offset0[:, None], off3_eff], axis=1)
-                op_recs.append(jnp.concatenate(
-                    [jnp.where(real, pages, 0)[:, None] + 32,
-                     jnp.where(real, content, pad_content)[:, None],
-                     jnp.where(real[:, None], all_off, 0)], axis=1))
+                # -- j sequential op selections on the extracted rows ---
+                # each sub-op sees the previous sub-ops' local updates,
+                # exactly as consecutive scan steps would on the same
+                # pages
+                op_recs = []
+                for jj in range(j):
+                    has_work = jnp.max(up_p, axis=1) > 0.0
+                    real = has_work & (jj * k + iota_k < nvalid)
+                    realf = real.astype(jnp.float32)[:, None]
 
-            # -- whole-row write-back of the selected pages' final state ----
-            keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1) 0 if selected
-            back = jnp.concatenate([up_p, dw_p, by_p], axis=1)  # (K, 768)
-            wr = jnp.dot(P.T, back,
-                         precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)  # (32, 768)
-            new_up_b = (up_b.astype(jnp.float32) * keep
-                        + wr[:, :256]).astype(jnp.int32)
-            new_dw_b = (dw_b.astype(jnp.float32) * keep
-                        + wr[:, 256:512]).astype(jnp.int32)
-            new_bank_bytes = (bank_bytes.astype(jnp.float32) * keep
-                              + wr[:, 512:]).astype(jnp.int32)
+                    off_score = (up_p * 256.0
+                                 + nonce(1 + jj, (k, 256)) * 255.0)
+                    offset0 = jnp.argmax(off_score, axis=1)  # (K,)
+                    off0_oh = (offset0[:, None] == iota_256).astype(
+                        jnp.float32)
+                    content = jnp.sum(tb_p * off0_oh, axis=1).astype(
+                        jnp.int32)
+
+                    # companions: rank ALL offsets against the LIVE diff.
+                    # sc rows for each slot's (page, content):
+                    # contiguous-row gathers from the bank's cost slab -
+                    # the same semantics as the reference's per-op
+                    # compute_delta_page (video.py:275-301)
+                    rows = pages * C + content  # (K,)
+                    sc_row = jnp.take(slab, rows, axis=0).astype(
+                        jnp.float32)  # (K, 256)
+                    # eligible: still-pending offset (up>0 also excludes
+                    # screen holes, which never take priority) that the
+                    # store improves
+                    score = dw_p - sc_row
+                    elig = (up_p > 0.0) & (score > 0.0) \
+                        & (iota_256 != offset0[:, None])
+                    sl = jnp.where(elig, score, -1.0)
+                    oh_sel, off_sel, resid_sel = [], [], []
+                    for _ in range(3):  # best three, ties to lowest offset
+                        o = jnp.argmax(sl, axis=1)
+                        oh = (o[:, None] == iota_256).astype(jnp.float32)
+                        hit = jnp.sum(sl * oh, axis=1) > 0.0
+                        hitf = hit.astype(jnp.float32)[:, None]
+                        off_sel.append(jnp.where(hit, o, offset0))
+                        oh_sel.append(oh * hitf)
+                        resid_sel.append(jnp.sum(sc_row * oh, axis=1)
+                                         * hit.astype(jnp.float32))
+                        sl = jnp.where(oh > 0, -1.0, sl)
+                    acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]
+                    resid_rows = (oh_sel[0] * resid_sel[0][:, None]
+                                  + oh_sel[1] * resid_sel[1][:, None]
+                                  + oh_sel[2] * resid_sel[2][:, None])
+                    off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
+
+                    # local page-row updates (gated so padding sub-ops
+                    # are no-ops): primary clears up+dw, companions take
+                    # residuals, stored cells take the content byte
+                    umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
+                    up_p = up_p * (1.0 - umask) + resid_rows * realf
+                    dw_p = dw_p * (1.0 - off0_oh * realf)
+                    by_p = by_p * (1.0 - umask) \
+                        + umask * content[:, None].astype(jnp.float32)
+
+                    all_off = jnp.concatenate(
+                        [offset0[:, None], off3_eff], axis=1)
+                    op_recs.append(jnp.concatenate(
+                        [jnp.where(real, pages, 0)[:, None] + 32,
+                         jnp.where(real, content, pad_content)[:, None],
+                         jnp.where(real[:, None], all_off, 0)], axis=1))
+
+                # -- whole-row write-back of the selected pages ---------
+                keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1)
+                back = jnp.concatenate([up_p, dw_p, by_p], axis=1)
+                wr = jnp.dot(P.T, back,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+                up_b = up_b * keep + wr[:, :256]
+                dw_b = dw_b * keep + wr[:, 256:512]
+                by_b = by_b * keep + wr[:, 512:]
+
+                # emit order is sub-op-major: all pages' first ops, then
+                # their second ops, ... (matches the plan's nvalid)
+                recs_out.append(
+                    jnp.concatenate(op_recs, axis=0).astype(jnp.uint8))
 
             new_state = dict(
                 banks=jax.lax.dynamic_update_index_in_dim(
-                    state["banks"], new_bank_bytes, bank_c, 0),
+                    state["banks"], by_b.astype(jnp.int32), bank_c, 0),
                 up=jax.lax.dynamic_update_index_in_dim(
-                    state["up"], new_up_b, bank_c, 0),
+                    state["up"], up_b.astype(jnp.int32), bank_c, 0),
                 dw=jax.lax.dynamic_update_index_in_dim(
-                    state["dw"], new_dw_b, bank_c, 0),
+                    state["dw"], dw_b.astype(jnp.int32), bank_c, 0),
                 sc=slab,
             )
-
-            # emit order is sub-op-major: all pages' first ops, then their
-            # second ops, ... (matches the nvalid semantics of plan chunks)
-            op_rec = jnp.concatenate(op_recs, axis=0)  # (K*j, 6)
-            return new_state, op_rec.astype(jnp.uint8)
+            return new_state, jnp.stack(recs_out)  # (Sc, K*j, 6)
 
         if step_index is None:
             step_index = jnp.arange(S, dtype=jnp.int32)
         xs = (step_index, step_frame, step_bank,
               step_recompute, step_nvalid)
-        if SCAN_UNROLL > 1:
-            # amortize the scan's fixed per-step overhead by running
-            # UNROLL sequential plan steps per loop body; padded steps are
-            # exact no-ops (nvalid=0, no recompute), outputs trimmed
-            pad = (-S) % SCAN_UNROLL
-            if pad:
-                def pad_leaf(a, fill=None):
-                    tail = (jnp.zeros((pad,) + a.shape[1:], a.dtype)
-                            if fill is None else
-                            jnp.full((pad,) + a.shape[1:], fill, a.dtype))
-                    return jnp.concatenate([a, tail], axis=0)
-                xs = (pad_leaf(xs[0]), pad_leaf(xs[1]), pad_leaf(xs[2]),
-                      pad_leaf(xs[3], False), pad_leaf(xs[4], 0))
-            xs = jax.tree.map(
-                lambda a: a.reshape((-1, SCAN_UNROLL) + a.shape[1:]), xs)
-
-            def step_u(state, xs_u):
-                recs = []
-                for u in range(SCAN_UNROLL):
-                    state, rec = step(
-                        state, jax.tree.map(lambda a: a[u], xs_u))
-                    recs.append(rec)
-                return state, jnp.stack(recs)
-
-            final, ops = jax.lax.scan(step_u, state0, xs)
-            ops = ops.reshape((-1,) + ops.shape[2:])[:S]
-        else:
-            final, ops = jax.lax.scan(step, state0, xs)
+        xs = jax.tree.map(
+            lambda a: a.reshape((-1, Sc) + a.shape[1:]), xs)
+        final, ops = jax.lax.scan(chunk_body, state0, xs)
+        ops = ops.reshape((-1,) + ops.shape[2:])  # (S, K*j, 6)
         if return_state:
             return ops, final
         main = final["banks"][0]
@@ -459,8 +482,9 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
     def chunk(store_cost, sub, lanes_tgt, bytes_tgt,
               step_frame, step_bank, step_recompute, step_nvalid,
               step_index, banks0, up0, dw0, sc0, key):
-        """One segment of a chunked movie: carries (banks, up, dw, sc) state
-        in and out so arbitrarily long movies encode in bounded memory.
+        """One segment of a chunked movie: carries (banks, up, dw, sc)
+        state in and out so arbitrarily long movies encode in bounded
+        memory.
 
         Output matches the unchunked encoder bit-for-bit: nonces fold the
         ABSOLUTE step index and every segment's first step is a frame start
@@ -478,15 +502,19 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
 
 @functools.lru_cache(None)
-def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1):
+def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
+                   chunk_steps: int = 1):
     import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic, j))
+    return jax.jit(_build_encode_scan(mode, k, deterministic, j,
+                                      chunk_steps))
 
 
 @functools.lru_cache(None)
-def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1):
+def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
+                  chunk_steps: int = 1):
     import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic, j).chunk)
+    return jax.jit(
+        _build_encode_scan(mode, k, deterministic, j, chunk_steps).chunk)
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
@@ -500,7 +528,8 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_encode(mode, plan.k, seed is None, plan.j)
+    fn = _jitted_encode(mode, plan.k, seed is None, plan.j,
+                        plan.chunk_steps)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
               lanes_tgt, bytes_tgt,
@@ -546,7 +575,8 @@ aux).
     S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
     F_pad = min(chunk_frames, f_max + 1)
 
-    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j)
+    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j,
+                       plan.chunk_steps)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -575,7 +605,7 @@ aux).
             return jnp.asarray(out)
 
         # pad steps repeat the last real (frame, bank) with nvalid=0 and no
-        # recompute: pure no-ops
+        # recompute: pure no-op chunks
         ops_c, banks, up, dw, sc = fn(
             store_cost, sub, lanes_c, bytes_c,
             pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
@@ -623,8 +653,10 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
               for f0, f1 in zip(bounds[:-1], bounds[1:])]
     S_pad = max(s1 - s0 for _, _, s0, s1 in ranges)
     F_pad = min(chunk_frames, f_max + 1)
+    assert S_pad % plan.chunk_steps == 0, (S_pad, plan.chunk_steps)
 
-    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j)
+    fn = _jitted_chunk(mode, plan.k, seed is None, plan.j,
+                       plan.chunk_steps)
     import jax
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)

@@ -110,10 +110,11 @@ def ingest_movies_batch(rgb_b, mode: VideoMode, palette, mesh=None):
 
 @functools.lru_cache(None)
 def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool,
-                         j: int = 1):
+                         j: int = 1, chunk_steps: int = 1):
     import jax
 
-    scan = encoder._build_encode_scan(mode, k, deterministic, j)
+    scan = encoder._build_encode_scan(mode, k, deterministic, j,
+                                      chunk_steps)
     batched = jax.vmap(
         scan, in_axes=(None, None, 0, 0, None, None, None, None, 0))
 
@@ -142,7 +143,8 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     import jax
     import jax.numpy as jnp
 
-    fn = _jitted_batch_encode(mode, plan.k, False, plan.j)
+    fn = _jitted_batch_encode(mode, plan.k, False, plan.j,
+                              plan.chunk_steps)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)

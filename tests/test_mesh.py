@@ -146,7 +146,9 @@ def test_sharded_batch_encode_on_virtual_mesh():
 
 def test_batched_device_ingest_matches_host_path():
     """ingest_movies_batch (fused device resize+quantize+pack+lanes) must
-    equal the host ingest path on pre-resized frames (no resize rounding)."""
+    equal the host ingest path run with device quantization on pre-resized
+    frames (no resize rounding); the default C++ host quantizer agrees on
+    all but borderline dither picks."""
     from iivision_tpu import frames as frames_mod
 
     rng = np.random.RandomState(11)
@@ -158,11 +160,18 @@ def test_batched_device_ingest_matches_host_path():
     lanes_b, bytes_b = np.asarray(lanes_b), np.asarray(bytes_b)
 
     for i in range(B):
-        mf = frames_mod.ingest(rgb[i], VideoMode.DHGR, Palette.NTSC)
+        mf = frames_mod.ingest(rgb[i], VideoMode.DHGR, Palette.NTSC,
+                               quantize_device=True)
         lanes, bytes_ = encoder.prepare_targets(
             mf.targets_main, mf.targets_aux, VideoMode.DHGR)
         assert np.array_equal(lanes_b[i], np.asarray(lanes)), i
         assert np.array_equal(bytes_b[i], np.asarray(bytes_)), i
+
+    # the default (C++ fused-LUT) host path: same bytes almost everywhere
+    mf_h = frames_mod.ingest(rgb[0], VideoMode.DHGR, Palette.NTSC)
+    _, bytes_h = encoder.prepare_targets(
+        mf_h.targets_main, mf_h.targets_aux, VideoMode.DHGR)
+    assert (np.asarray(bytes_h) != bytes_b[0]).mean() < 0.2
 
 
 def test_batched_device_ingest_resizes():
