@@ -110,17 +110,10 @@ def main():
     dist.store_cost.block_until_ready()
     log("DHGR store-cost distance model: %.1fs (incl compile)"
         % (time.time() - t0))
-    t0 = time.time()
-    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
-    tables.block_until_ready()
-    tablegen_cold = time.time() - t0
-    del tables
-    log("DHGR LUT artifact gen (cold, incl compile): %.1fs" % tablegen_cold)
-    t0 = time.time()
-    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
-    tables.block_until_ready()
-    log("DHGR LUT artifact gen (warm): %.2fs" % (time.time() - t0))
-    del tables
+    # (the reference-layout LUT artifact generation timing moved to the
+    # tail: its first compile can take minutes on a cold service cache,
+    # and a slow compile degrades this process's per-dispatch latency for
+    # everything measured after it - see CLAUDE.md)
 
     # --- single-movie end-to-end (host decode path) -------------------------
     rgb = synth_clip()
@@ -169,7 +162,6 @@ def main():
                              for k, v in stats.items()})
     log("single-movie realtime_x = %.2f (source %dx%d, resize+quantize+audio"
         " included)" % (realtime_x, SRC_W, SRC_H))
-    log("tablegen_cold_s=%.1f" % tablegen_cold)
 
     # --- batched per-chip throughput (full pipeline on device) --------------
     from iivision_tpu import encoder
@@ -204,9 +196,12 @@ def main():
             seeds=np.arange(seed, seed + B))
         return ops_b, levels
 
-    def emit_all(ops_np, levels):
-        return [emit_stream_fast(encoder.flatten_ops(ops_np[i], plan),
-                                 levels, VideoMode.DHGR) for i in range(B)]
+    def emit_all(flat_b, levels):
+        # compact fetch already dropped the padding slots on device: the
+        # d2h transfer is exactly n_ops x 6 per movie (the chunk-major
+        # padded plan would otherwise inflate the link traffic ~40%)
+        return [emit_stream_fast(flat_b[i], levels, VideoMode.DHGR)
+                for i in range(B)]
 
     log("batched warm-up (compiling ingest + vmapped scan)...")
     ops_b, levels_dev = run_pipeline(0)
@@ -214,13 +209,13 @@ def main():
     # device f32 trunc can differ from the host f64 path only at exact
     # integer boundaries; anything more than a stray LSB is a bug
     assert (levels_host != levels_np).mean() < 1e-3
-    streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+    streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan), levels_host)
     res_b = PlayerVM().decode(streams[-1])
     assert res_b.ok, res_b.error
 
     t0 = time.time()
     ops_b, levels_dev = run_pipeline(1000)
-    streams = emit_all(pmesh.fetch_ops(ops_b, plan),
+    streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan),
                        np.asarray(levels_dev)[:plan.n_ops])
     batch_wall = time.time() - t0
     batch_x = B * stats["movie_seconds"] / batch_wall
@@ -238,10 +233,10 @@ def main():
         pending, lv = run_pipeline(5000 + 1000 * rep)
         for r in range(1, R):
             nxt, lv2 = run_pipeline(5000 + 1000 * rep + r * B)
-            streams = emit_all(pmesh.fetch_ops(pending, plan),
+            streams = emit_all(pmesh.fetch_ops_compact(pending, plan),
                                np.asarray(lv)[:plan.n_ops])
             pending, lv = nxt, lv2
-        streams = emit_all(pmesh.fetch_ops(pending, plan),
+        streams = emit_all(pmesh.fetch_ops_compact(pending, plan),
                            np.asarray(lv)[:plan.n_ops])
         pipe_wall = time.time() - t0
         rep_x = R * B * stats["movie_seconds"] / pipe_wall
@@ -293,14 +288,14 @@ def main():
         return ops_b, host_s
 
     ops_b, _ = run_host_fed(1)  # warm-up/compile
-    streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+    streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan), levels_host)
     res_h = PlayerVM().decode(streams[-1])
     assert res_h.ok, res_h.error
     host_fed_x = 0.0
     for rep in range(2):
         t0 = time.time()
         ops_b, host_s = run_host_fed(100 + rep * B)
-        streams = emit_all(pmesh.fetch_ops(ops_b, plan), levels_host)
+        streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan), levels_host)
         wall = time.time() - t0
         rep_x = B * stats["movie_seconds"] / wall
         host_fed_x = max(host_fed_x, rep_x)
@@ -348,6 +343,20 @@ def main():
     assert mres.exit_reason == "TERMINATED", mres.exit_reason
     log("long movie 6502-machine validated: %d cycles, %d RECVs"
         % (mres.cycles, mres.n_recv))
+
+    # --- LUT artifact generation (reference-compatible npz) -----------------
+    t0 = time.time()
+    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
+    tables.block_until_ready()
+    tablegen_cold = time.time() - t0
+    del tables
+    log("DHGR LUT artifact gen (cold, incl compile): %.1fs" % tablegen_cold)
+    t0 = time.time()
+    tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
+    tables.block_until_ready()
+    log("DHGR LUT artifact gen (warm): %.2fs" % (time.time() - t0))
+    del tables
+    log("tablegen_cold_s=%.1f" % tablegen_cold)
 
     headline = max(realtime_x, batch_x)
     print(json.dumps({

@@ -283,6 +283,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     sys.path.insert(0, REPO)
+    if os.environ.get("IIVISION_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from iivision_tpu import encoder, frames, quality
     from iivision_tpu.movie import get_distance
     from iivision_tpu.palettes import Palette
