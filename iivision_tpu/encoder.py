@@ -177,6 +177,32 @@ def plan_movie(
 
 # --- target preparation ---------------------------------------------------------
 
+@functools.lru_cache(None)
+def _jitted_prepare(mode: VideoMode):
+    import jax
+
+    def f(main, aux):
+        return prepare_targets(main, aux if mode == VideoMode.DHGR
+                               else None, mode)
+    return jax.jit(f)
+
+
+def prepare_targets_jit(frames_main, frames_aux, mode: VideoMode):
+    """prepare_targets as ONE compiled program (one dispatch).
+
+    The eager form issues tens of small device ops; on the tunneled
+    backend each eager dispatch costs milliseconds (and 100x that in a
+    process degraded by a slow compile), which made per-segment target
+    preparation dominate streamed encodes.
+    """
+    import jax.numpy as jnp
+
+    main = jnp.asarray(np.asarray(frames_main))
+    aux = main if frames_aux is None else jnp.asarray(
+        np.asarray(frames_aux))
+    return _jitted_prepare(mode)(main, aux)
+
+
 def prepare_targets(frames_main: np.ndarray,
                     frames_aux: Optional[np.ndarray],
                     mode: VideoMode):
@@ -479,17 +505,23 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                            step_frame, step_bank, step_recompute,
                            step_nvalid, key)
 
-    def chunk(store_cost, sub, lanes_tgt, bytes_tgt,
+    def chunk(store_cost, sub, frames_main_u8, frames_aux_u8,
               step_frame, step_bank, step_recompute, step_nvalid,
               step_index, banks0, up0, dw0, sc0, key):
         """One segment of a chunked movie: carries (banks, up, dw, sc)
         state in and out so arbitrarily long movies encode in bounded
-        memory.
+        memory.  Targets arrive as raw uint8 screen banks; lane derivation
+        happens INSIDE this program (one dispatch + a small h2d per
+        segment - eager per-segment preparation was measured to dominate
+        streamed encodes on the tunneled backend).
 
         Output matches the unchunked encoder bit-for-bit: nonces fold the
         ABSOLUTE step index and every segment's first step is a frame start
         (recompute=True rebuilds the diff and cost slab from carried state).
         """
+        lanes_tgt, bytes_tgt = prepare_targets(
+            frames_main_u8,
+            frames_aux_u8 if mode == VideoMode.DHGR else None, mode)
         init = dict(banks=banks0, up=up0, dw=dw0, sc=sc0)
         ops, fin = encode_scan(
             store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
@@ -594,10 +626,9 @@ aux).
 
     for f0, f1, s0, s1 in ranges:
         F, S = f1 - f0, s1 - s0
-        lanes_c, bytes_c = prepare_targets(
-            pad_frames(frames_main[f0:f1], F),
-            pad_frames(None if frames_aux is None
-                       else np.asarray(frames_aux)[f0:f1], F), mode)
+        main_c = pad_frames(frames_main[f0:f1], F)
+        aux_c = pad_frames(main_c if frames_aux is None
+                           else np.asarray(frames_aux)[f0:f1], F)
 
         def pad_steps(a, fill):
             out = np.full(S_pad, fill, a.dtype)
@@ -607,7 +638,7 @@ aux).
         # pad steps repeat the last real (frame, bank) with nvalid=0 and no
         # recompute: pure no-op chunks
         ops_c, banks, up, dw, sc = fn(
-            store_cost, sub, lanes_c, bytes_c,
+            store_cost, sub, main_c, aux_c,
             pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
             pad_steps(plan.step_bank, int(plan.step_bank[s1 - 1])),
             pad_steps(plan.step_recompute, False),
@@ -711,8 +742,8 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
     for f0, f1, s0, s1 in ranges:
         S = s1 - s0
         fm, fa = pull_frames(f1 - f0)
-        lanes_c, bytes_c = prepare_targets(pad_frames(fm), pad_frames(fa),
-                                           mode)
+        main_c = pad_frames(fm)
+        aux_c = main_c if fa is None else pad_frames(fa)
 
         def pad_steps(a, fill):
             out = np.full(S_pad, fill, a.dtype)
@@ -720,7 +751,7 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
             return jnp.asarray(out)
 
         ops_c, banks, up, dw, sc = fn(
-            store_cost, sub, lanes_c, bytes_c,
+            store_cost, sub, main_c, aux_c,
             pad_steps(sf - f0, int(sf[s1 - 1]) - f0),
             pad_steps(plan.step_bank, int(plan.step_bank[s1 - 1])),
             pad_steps(plan.step_recompute, False),

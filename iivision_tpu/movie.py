@@ -196,7 +196,7 @@ class Movie:
                 self.dist, tgt_main, tgt_aux, plan, self.video_mode,
                 seed=self.seed, chunk_frames=chunk)
         else:
-            lanes_tgt, bytes_tgt = encoder.prepare_targets(
+            lanes_tgt, bytes_tgt = encoder.prepare_targets_jit(
                 tgt_main, tgt_aux, self.video_mode)
             ops_dev, fin_main, fin_aux = encoder.encode_movie(
                 self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
