@@ -360,21 +360,94 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             tb_f = tb.astype(jnp.float32)
 
             pad_content = tb[0, 0]
-            recs_out = []
-            for u in range(Sc):
-                skey = jax.random.fold_in(key, step_is[u])
-                nvalid = nvalids_x[u]
 
-                def nonce(sub_i, shape, skey=skey):
-                    if deterministic:
-                        return jnp.zeros(shape, jnp.float32)
-                    return jax.random.uniform(
-                        jax.random.fold_in(skey, sub_i), shape,
+            # inner scans over the body's steps and each step's j sub-ops:
+            # the program contains ONE sub-op selection block instead of
+            # Sc*j unrolled copies, cutting compile/load time ~10x on the
+            # remote-compile backend (measured step overhead of nesting is
+            # small relative to the selection math)
+            def sub_op(carry, jj):
+                up_p, dw_p, by_p, tb_p, pages, sc_all, nvalid, skey = carry
+                has_work = jnp.max(up_p, axis=1) > 0.0
+                real = has_work & (jj * k + iota_k < nvalid)
+                realf = real.astype(jnp.float32)[:, None]
+
+                if deterministic:
+                    nonce_o = jnp.zeros((k, 256), jnp.float32)
+                else:
+                    nonce_o = jax.random.uniform(
+                        jax.random.fold_in(skey, 1 + jj), (k, 256),
                         jnp.float32)
+                off_score = up_p * 256.0 + nonce_o * 255.0
+                offset0 = jnp.argmax(off_score, axis=1)  # (K,)
+                off0_oh = (offset0[:, None] == iota_256).astype(
+                    jnp.float32)
+                content = jnp.sum(tb_p * off0_oh, axis=1).astype(
+                    jnp.int32)
+
+                # companions: rank ALL offsets against the LIVE diff.
+                # sc rows for each slot's (page, content):
+                # contiguous-row gathers from the bank's cost slab -
+                # the same semantics as the reference's per-op
+                # compute_delta_page (video.py:275-301)
+                rows = pages * C + content  # (K,)
+                sc_row = jnp.take(sc_all, rows, axis=0).astype(
+                    jnp.float32)  # (K, 256)
+                # eligible: still-pending offset (up>0 also excludes
+                # screen holes, which never take priority) that the
+                # store improves
+                score = dw_p - sc_row
+                elig = (up_p > 0.0) & (score > 0.0) \
+                    & (iota_256 != offset0[:, None])
+                sl = jnp.where(elig, score, -1.0)
+                oh_sel, off_sel, resid_sel = [], [], []
+                for _ in range(3):  # best three, ties to lowest offset
+                    o = jnp.argmax(sl, axis=1)
+                    oh = (o[:, None] == iota_256).astype(jnp.float32)
+                    hit = jnp.sum(sl * oh, axis=1) > 0.0
+                    hitf = hit.astype(jnp.float32)[:, None]
+                    off_sel.append(jnp.where(hit, o, offset0))
+                    oh_sel.append(oh * hitf)
+                    resid_sel.append(jnp.sum(sc_row * oh, axis=1)
+                                     * hit.astype(jnp.float32))
+                    sl = jnp.where(oh > 0, -1.0, sl)
+                acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]
+                resid_rows = (oh_sel[0] * resid_sel[0][:, None]
+                              + oh_sel[1] * resid_sel[1][:, None]
+                              + oh_sel[2] * resid_sel[2][:, None])
+                off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
+
+                # local page-row updates (gated so padding sub-ops
+                # are no-ops): primary clears up+dw, companions take
+                # residuals, stored cells take the content byte
+                umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
+                up_p = up_p * (1.0 - umask) + resid_rows * realf
+                dw_p = dw_p * (1.0 - off0_oh * realf)
+                by_p = by_p * (1.0 - umask) \
+                    + umask * content[:, None].astype(jnp.float32)
+
+                all_off = jnp.concatenate(
+                    [offset0[:, None], off3_eff], axis=1)
+                rec = jnp.concatenate(
+                    [jnp.where(real, pages, 0)[:, None] + 32,
+                     jnp.where(real, content, pad_content)[:, None],
+                     jnp.where(real[:, None], all_off, 0)], axis=1)
+                return (up_p, dw_p, by_p, tb_p, pages, sc_all, nvalid,
+                        skey), rec
+
+            def step_body(carry, xs_u):
+                up_b, dw_b, by_b = carry
+                step_i, nvalid = xs_u
+                skey = jax.random.fold_in(key, step_i)
 
                 # -- page selection ------------------------------------
                 page_max = jnp.max(up_b, axis=1)  # (32,)
-                page_score = page_max * 256.0 + nonce(0, (32,)) * 255.0
+                if deterministic:
+                    nonce_p = jnp.zeros((32,), jnp.float32)
+                else:
+                    nonce_p = jax.random.uniform(
+                        jax.random.fold_in(skey, 0), (32,), jnp.float32)
+                page_score = page_max * 256.0 + nonce_p * 255.0
                 _, pages = jax.lax.top_k(page_score, k)  # (K,) distinct
                 P = (pages[:, None] == iota_k32).astype(jnp.float32)
 
@@ -396,67 +469,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # each sub-op sees the previous sub-ops' local updates,
                 # exactly as consecutive scan steps would on the same
                 # pages
-                op_recs = []
-                for jj in range(j):
-                    has_work = jnp.max(up_p, axis=1) > 0.0
-                    real = has_work & (jj * k + iota_k < nvalid)
-                    realf = real.astype(jnp.float32)[:, None]
-
-                    off_score = (up_p * 256.0
-                                 + nonce(1 + jj, (k, 256)) * 255.0)
-                    offset0 = jnp.argmax(off_score, axis=1)  # (K,)
-                    off0_oh = (offset0[:, None] == iota_256).astype(
-                        jnp.float32)
-                    content = jnp.sum(tb_p * off0_oh, axis=1).astype(
-                        jnp.int32)
-
-                    # companions: rank ALL offsets against the LIVE diff.
-                    # sc rows for each slot's (page, content):
-                    # contiguous-row gathers from the bank's cost slab -
-                    # the same semantics as the reference's per-op
-                    # compute_delta_page (video.py:275-301)
-                    rows = pages * C + content  # (K,)
-                    sc_row = jnp.take(slab, rows, axis=0).astype(
-                        jnp.float32)  # (K, 256)
-                    # eligible: still-pending offset (up>0 also excludes
-                    # screen holes, which never take priority) that the
-                    # store improves
-                    score = dw_p - sc_row
-                    elig = (up_p > 0.0) & (score > 0.0) \
-                        & (iota_256 != offset0[:, None])
-                    sl = jnp.where(elig, score, -1.0)
-                    oh_sel, off_sel, resid_sel = [], [], []
-                    for _ in range(3):  # best three, ties to lowest offset
-                        o = jnp.argmax(sl, axis=1)
-                        oh = (o[:, None] == iota_256).astype(jnp.float32)
-                        hit = jnp.sum(sl * oh, axis=1) > 0.0
-                        hitf = hit.astype(jnp.float32)[:, None]
-                        off_sel.append(jnp.where(hit, o, offset0))
-                        oh_sel.append(oh * hitf)
-                        resid_sel.append(jnp.sum(sc_row * oh, axis=1)
-                                         * hit.astype(jnp.float32))
-                        sl = jnp.where(oh > 0, -1.0, sl)
-                    acc_rows = oh_sel[0] + oh_sel[1] + oh_sel[2]
-                    resid_rows = (oh_sel[0] * resid_sel[0][:, None]
-                                  + oh_sel[1] * resid_sel[1][:, None]
-                                  + oh_sel[2] * resid_sel[2][:, None])
-                    off3_eff = jnp.stack(off_sel, axis=1)  # (K, 3)
-
-                    # local page-row updates (gated so padding sub-ops
-                    # are no-ops): primary clears up+dw, companions take
-                    # residuals, stored cells take the content byte
-                    umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
-                    up_p = up_p * (1.0 - umask) + resid_rows * realf
-                    dw_p = dw_p * (1.0 - off0_oh * realf)
-                    by_p = by_p * (1.0 - umask) \
-                        + umask * content[:, None].astype(jnp.float32)
-
-                    all_off = jnp.concatenate(
-                        [offset0[:, None], off3_eff], axis=1)
-                    op_recs.append(jnp.concatenate(
-                        [jnp.where(real, pages, 0)[:, None] + 32,
-                         jnp.where(real, content, pad_content)[:, None],
-                         jnp.where(real[:, None], all_off, 0)], axis=1))
+                (up_p, dw_p, by_p, _, _, _, _, _), op_recs = jax.lax.scan(
+                    sub_op, (up_p, dw_p, by_p, tb_p, pages, slab, nvalid,
+                             skey),
+                    jnp.arange(j, dtype=jnp.int32))
 
                 # -- whole-row write-back of the selected pages ---------
                 keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1)
@@ -470,8 +486,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
                 # emit order is sub-op-major: all pages' first ops, then
                 # their second ops, ... (matches the plan's nvalid)
-                recs_out.append(
-                    jnp.concatenate(op_recs, axis=0).astype(jnp.uint8))
+                return (up_b, dw_b, by_b), op_recs.reshape(
+                    k * j, OP_FIELDS).astype(jnp.uint8)
+
+            (up_b, dw_b, by_b), recs_out = jax.lax.scan(
+                step_body, (up_b, dw_b, by_b), (step_is, nvalids_x))
 
             new_state = dict(
                 banks=jax.lax.dynamic_update_index_in_dim(
@@ -482,7 +501,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     state["dw"], dw_b.astype(jnp.int32), bank_c, 0),
                 sc=slab,
             )
-            return new_state, jnp.stack(recs_out)  # (Sc, K*j, 6)
+            return new_state, recs_out  # (Sc, K*j, 6)
 
         if step_index is None:
             step_index = jnp.arange(S, dtype=jnp.int32)

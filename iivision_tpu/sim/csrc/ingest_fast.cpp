@@ -133,3 +133,56 @@ void hgr_fit(const uint8_t* codes, int64_t F, uint8_t* main_out) {
 }
 
 }  // extern "C"
+
+// --- `.a2m` byte emission (mirror of stream/emit_fast.py) --------------------
+//
+// flat_ops: (n, 6) int32 [page, content, o0..o3]; levels: (n,) int32 in
+// -15..16; lut: (32 duty, 32 page) int32 opcode addresses.  Writes header +
+// 7-byte tick records + 4-byte ACKs every 2KB segment (291 ops first, 292
+// after; DHGR alternates the $54/$55 soft-switch byte) + terminate + zero
+// padding.  out must hold emit_size(n) bytes; returns bytes written.
+
+extern "C" int64_t emit_stream(
+        const int32_t* flat_ops, const int32_t* levels, int64_t n,
+        const int32_t* lut, int32_t ack_addr, int32_t term_addr,
+        int32_t mode_byte, int32_t dhgr,
+        int32_t ops_first_frame, int32_t ops_per_frame,
+        uint8_t* out, int64_t out_cap) {
+    int64_t p = 0;
+    for (int i = 0; i < 6; i++) out[p++] = 0xFF;
+    out[p++] = (uint8_t)mode_byte;
+
+    int64_t pos = 0, seg = 0;
+    int aux = 0;
+    while (pos < n) {
+        int64_t cap = (seg == 0) ? ops_first_frame : ops_per_frame;
+        int64_t take = (cap < n - pos) ? cap : n - pos;
+        for (int64_t i = pos; i < pos + take; i++) {
+            const int32_t* op = flat_ops + i * 6;
+            int32_t duty = levels[i] + 15;           // 0..31
+            int32_t addr = lut[duty * 32 + (op[0] - 32)];
+            out[p++] = (uint8_t)(addr >> 8);
+            out[p++] = (uint8_t)(addr & 0xFF);
+            out[p++] = (uint8_t)(op[1] & 0xFF);
+            out[p++] = (uint8_t)(op[2] & 0xFF);
+            out[p++] = (uint8_t)(op[3] & 0xFF);
+            out[p++] = (uint8_t)(op[4] & 0xFF);
+            out[p++] = (uint8_t)(op[5] & 0xFF);
+        }
+        pos += take;
+        if (take == cap) {
+            if (dhgr) aux = !aux;
+            out[p++] = (uint8_t)(ack_addr >> 8);
+            out[p++] = (uint8_t)(ack_addr & 0xFF);
+            out[p++] = aux ? 0x55 : 0x54;
+            out[p++] = 0xFF;
+        }
+        seg++;
+    }
+    out[p++] = (uint8_t)(term_addr >> 8);
+    out[p++] = (uint8_t)(term_addr & 0xFF);
+    int64_t pad = (2048 - (p % 2048)) % 2048;
+    for (int64_t i = 0; i < pad; i++) out[p++] = 0;
+    if (p > out_cap) return -1;  // caller sized the buffer wrong
+    return p;
+}

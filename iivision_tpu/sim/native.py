@@ -108,3 +108,41 @@ def hgr_fit(codes: np.ndarray) -> np.ndarray:
     main = np.empty((F, 32, 256), np.uint8)
     _ingest_lib().hgr_fit(_u8p(flat), F, _u8p(main))
     return main.reshape(lead + (32, 256))
+
+
+def emit_stream(flat_ops: np.ndarray, levels: np.ndarray, lut: np.ndarray,
+                ack_addr: int, term_addr: int, mode_byte: int, dhgr: bool,
+                ops_first_frame: int, ops_per_frame: int) -> bytes:
+    """C++ assembly of the `.a2m` byte stream (see stream/emit_fast.py)."""
+    lib = _ingest_lib()
+    if not hasattr(lib, "_emit_ready"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.emit_stream.restype = ctypes.c_int64
+        lib.emit_stream.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
+        lib._emit_ready = True
+    n = len(flat_ops)
+    flat_ops = np.ascontiguousarray(flat_ops, np.int32)
+    levels = np.ascontiguousarray(levels[:n], np.int32)
+    lut = np.ascontiguousarray(lut, np.int32)
+    n_acks = 0 if n == 0 else (
+        (1 if n >= ops_first_frame else 0)
+        + max(0, (n - ops_first_frame)) // ops_per_frame)
+    size = 7 + n * 7 + n_acks * 4 + 2
+    size += (2048 - size % 2048) % 2048
+    out = np.empty(size + 2048, np.uint8)
+
+    def i32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    written = lib.emit_stream(
+        i32(flat_ops), i32(levels), n, i32(lut),
+        ack_addr, term_addr, mode_byte, 1 if dhgr else 0,
+        ops_first_frame, ops_per_frame,
+        _u8p(out), len(out))
+    assert written > 0, "emit buffer undersized"
+    return out[:written].tobytes()

@@ -16,6 +16,11 @@ from iivision_tpu.stream import opcodes as ops_mod
 from iivision_tpu.stream.opcodes import OpcodeAddresses, default_addresses
 from iivision_tpu.video_mode import VideoMode
 
+try:
+    from iivision_tpu.sim import native
+except Exception:  # pragma: no cover - native toolchain unavailable
+    native = None
+
 
 def _addr_lut(addrs: OpcodeAddresses) -> np.ndarray:
     """(32 duty-cycles, 32 pages) -> opcode entry address."""
@@ -49,6 +54,15 @@ def emit_stream_fast(flat_ops: np.ndarray, levels: np.ndarray,
         over = np.flatnonzero(starts >= max_bytes_out)
         if over.size:
             n = int(over[0])
+
+    use_native = native is not None and n > 0
+    if use_native:
+        # native C++ assembly: one pass, ~10x the numpy splice path
+        return native.emit_stream(
+            np.asarray(flat_ops[:n], np.int32), np.asarray(levels[:n]),
+            lut, addrs.ack, addrs.terminate, mode.value,
+            mode == VideoMode.DHGR,
+            ops_mod.OPS_FIRST_FRAME, ops_mod.OPS_PER_FRAME)
 
     duty_idx = (np.asarray(levels[:n], dtype=np.int32) + 15)  # 0..31
     page_idx = flat_ops[:n, 0].astype(np.int32) - 32
