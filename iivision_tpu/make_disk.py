@@ -1,0 +1,96 @@
+"""Package the player onto a ProDOS disk image (no Java, no cc65).
+
+Reproduces the reference's apple2-loader packaging step (reference
+player/make/createDiskImage:137-147, 262-273: delete BASIC.SYSTEM, rename
+LOADER.SYSTEM to IIVISION.SYSTEM, add the player binary as type BIN at its
+start address) using the native ProDOS filesystem in `prodos.py` and the
+player binary assembled by `sim/asm65.py` from the vendored source.
+
+Usage:
+    python -m iivision_tpu.make_disk out.po            # fresh volume
+    python -m iivision_tpu.make_disk out.dsk --template prodos_template.dsk
+
+With --template (e.g. the upstream build pipeline's prodos_template.dsk,
+which carries ProDOS plus the cc65 loader) the result is bootable exactly
+like the reference's iivision.dsk.  Without it, the image is a valid
+ProDOS volume holding the player binary; copy ProDOS + a loader onto it
+(or pass a template) to boot - the same external requirement the
+reference's Makefile has.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from iivision_tpu import prodos
+
+PLAYER_START = 0x0800
+PLAYER_NAME = "IIVISION"
+
+
+def player_binary() -> bytes:
+    """Assemble the vendored player; bytes loaded at PLAYER_START."""
+    from iivision_tpu.sim import asm65
+    asm = asm65.assemble_player()
+    asm65.validate_against_dbg(asm)
+    img = np.frombuffer(bytes(asm.image), np.uint8)
+    nz = np.nonzero(img)[0]
+    end = int(nz[-1]) + 1
+    if asm.entry != PLAYER_START:
+        raise RuntimeError("unexpected player entry %04x" % asm.entry)
+    return img[PLAYER_START:end].tobytes()
+
+
+def build_disk(template: bytes = None, binary: bytes = None,
+               volume_name: str = "IIVISION") -> prodos.ProDOSVolume:
+    if binary is None:
+        binary = player_binary()
+    if template is not None:
+        vol = prodos.ProDOSVolume.from_bytes(template)
+        names = {e.name for e in vol.list_files()}
+        # the reference's apple2-loader flow, file for file
+        if "BASIC.SYSTEM" in names:
+            vol.delete_file("BASIC.SYSTEM")
+        if "LOADER.SYSTEM" in names:
+            vol.rename_file("LOADER.SYSTEM", PLAYER_NAME + ".SYSTEM")
+        if PLAYER_NAME in {e.name for e in vol.list_files()}:
+            vol.delete_file(PLAYER_NAME)
+    else:
+        vol = prodos.ProDOSVolume.create(volume_name)
+    vol.add_file(PLAYER_NAME, binary, file_type=prodos.FILE_TYPES["bin"],
+                 aux_type=PLAYER_START)
+    return vol
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="Package the assembled player onto a ProDOS image")
+    ap.add_argument("output", help="output image (.po or .dsk)")
+    ap.add_argument("--template", default=None,
+                    help="existing ProDOS image to package into "
+                         "(reference flow; makes the result bootable)")
+    ap.add_argument("--binary", default=None,
+                    help="binary to package instead of the assembled "
+                         "player")
+    ap.add_argument("--volume", default="IIVISION",
+                    help="volume name for fresh images")
+    args = ap.parse_args(argv)
+
+    template = open(args.template, "rb").read() if args.template else None
+    binary = open(args.binary, "rb").read() if args.binary else None
+    vol = build_disk(template, binary, args.volume)
+    data = vol.to_dsk() if args.output.lower().endswith(".dsk") \
+        else vol.to_po()
+    with open(args.output, "wb") as f:
+        f.write(data)
+    files = ", ".join("%s(%s,$%04X,%dB)" % (
+        e.name, prodos.TYPE_NAMES.get(e.file_type, "$%02X" % e.file_type),
+        e.aux_type, e.eof) for e in vol.list_files())
+    print("wrote %s: volume %s, %d blocks free, files: %s"
+          % (args.output, vol.volume_name, vol.free_blocks(), files))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""ProDOS volume writer/reader + player disk packaging."""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import make_disk, prodos
+
+
+def test_sector_swizzle_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, prodos.FLOPPY_BLOCKS * 512, np.uint8)
+    img = img.tobytes()
+    po = prodos.dsk_to_po(img)
+    assert prodos.po_to_dsk(po) == img
+    assert prodos.dsk_to_po(prodos.po_to_dsk(img)) == img
+    # the 15-s permutation is an involution: applying dsk_to_po twice
+    # must return the original
+    assert prodos.dsk_to_po(po) == img
+
+
+def test_create_add_read_delete():
+    vol = prodos.ProDOSVolume.create("TESTVOL")
+    assert vol.volume_name == "TESTVOL"
+    free0 = vol.free_blocks()
+    rng = np.random.default_rng(1)
+    small = rng.integers(0, 256, 100, np.uint8).tobytes()   # seedling
+    med = rng.integers(0, 256, 40000, np.uint8).tobytes()   # sapling
+    vol.add_file("SMALL", small, file_type=0x06, aux_type=0x2000)
+    vol.add_file("MED.BIN", med, file_type=0x06, aux_type=0x800)
+    assert vol.read_file("SMALL") == small
+    assert vol.read_file("MED.BIN") == med
+    entries = {e.name: e for e in vol.list_files()}
+    assert entries["SMALL"].storage_type == prodos.SEEDLING
+    assert entries["SMALL"].blocks_used == 1
+    assert entries["MED.BIN"].storage_type == prodos.SAPLING
+    # sapling: data blocks + 1 index block
+    assert entries["MED.BIN"].blocks_used == (40000 + 511) // 512 + 1
+    assert entries["MED.BIN"].eof == 40000
+    used = sum(e.blocks_used for e in entries.values())
+    assert vol.free_blocks() == free0 - used
+
+    vol.rename_file("SMALL", "RENAMED")
+    assert vol.read_file("RENAMED") == small
+    with pytest.raises(prodos.ProDOSError):
+        vol.read_file("SMALL")
+
+    vol.delete_file("MED.BIN")
+    vol.delete_file("RENAMED")
+    assert vol.free_blocks() == free0
+    assert vol.list_files() == []
+
+
+def test_tree_file_roundtrip():
+    # >128KB forces tree storage; needs a big volume
+    vol = prodos.ProDOSVolume.create("BIG", total_blocks=1024)
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, 200_000, np.uint8).tobytes()
+    e = vol.add_file("TREE", data)
+    assert e.storage_type == prodos.TREE
+    assert vol.read_file("TREE") == data
+    free_before_delete = vol.free_blocks()
+    vol.delete_file("TREE")
+    # master index + 2 sub-indexes + data blocks all freed
+    assert vol.free_blocks() == free_before_delete + e.blocks_used
+
+
+def test_serialization_orders():
+    vol = prodos.ProDOSVolume.create("SER")
+    data = b"hello prodos" * 100
+    vol.add_file("F", data, file_type=0x04)
+    for raw, order in ((vol.to_po(), "po"), (vol.to_dsk(), "dsk")):
+        v2 = prodos.ProDOSVolume.from_bytes(raw, order)
+        assert v2.read_file("F") == data
+        v3 = prodos.ProDOSVolume.from_bytes(raw)  # auto-detect
+        assert v3.read_file("F") == data
+    # dsk and po serializations differ but describe the same volume
+    assert vol.to_po() != vol.to_dsk()
+
+
+def test_name_validation():
+    vol = prodos.ProDOSVolume.create("V")
+    for bad in ("", "toolongname12345", "1STARTSWITHDIGIT", "SP ACE",
+                "UNDER_SCORE"):
+        with pytest.raises(prodos.ProDOSError):
+            vol.add_file(bad, b"x")
+    vol.add_file("ok.lower", b"x")  # upper-cased on write
+    assert vol.list_files()[0].name == "OK.LOWER"
+    with pytest.raises(prodos.ProDOSError):
+        vol.add_file("OK.LOWER", b"y")  # duplicate
+
+
+def test_volume_full():
+    vol = prodos.ProDOSVolume.create("FULL")
+    with pytest.raises(prodos.ProDOSError):
+        vol.add_file("HUGE", b"\xAA" * (300 * 512))
+
+
+def test_player_disk_fresh():
+    binary = make_disk.player_binary()
+    assert len(binary) > 30000  # spans $0800..$BAxx incl. the HGR gap
+    vol = make_disk.build_disk()
+    entry = {e.name: e for e in vol.list_files()}["IIVISION"]
+    assert entry.file_type == 0x06 and entry.aux_type == 0x0800
+    assert vol.read_file("IIVISION") == binary
+
+    # the packaged binary, loaded at its aux_type address, reproduces the
+    # assembler's memory image exactly
+    from iivision_tpu.sim import asm65
+    asm = asm65.assemble_player()
+    mem = np.zeros(65536, np.uint8)
+    mem[entry.aux_type:entry.aux_type + entry.eof] = np.frombuffer(
+        binary, np.uint8)
+    ref = np.frombuffer(bytes(asm.image), np.uint8)
+    np.testing.assert_array_equal(mem, ref)
+
+
+def test_player_disk_template_flow():
+    # build a stand-in for the upstream prodos_template.dsk: a volume
+    # carrying BASIC.SYSTEM and the cc65 LOADER.SYSTEM
+    tmpl = prodos.ProDOSVolume.create("TEMPLATE")
+    tmpl.add_file("PRODOS", b"\x01" * 2000, file_type=0xFF)
+    tmpl.add_file("BASIC.SYSTEM", b"\x02" * 5000, file_type=0xFF,
+                  aux_type=0x2000)
+    loader = b"\x03" * 1200
+    tmpl.add_file("LOADER.SYSTEM", loader, file_type=0xFF, aux_type=0x2000)
+
+    vol = make_disk.build_disk(template=tmpl.to_dsk())
+    names = {e.name for e in vol.list_files()}
+    # reference apple2-loader flow: BASIC gone, loader renamed, player
+    # added (createDiskImage:137-147)
+    assert names == {"PRODOS", "IIVISION.SYSTEM", "IIVISION"}
+    assert vol.read_file("IIVISION.SYSTEM") == loader
+    assert vol.read_file("IIVISION") == make_disk.player_binary()
+
+
+def test_make_disk_cli(tmp_path):
+    out = tmp_path / "player.po"
+    assert make_disk.main([str(out)]) == 0
+    vol = prodos.ProDOSVolume.from_bytes(out.read_bytes())
+    assert vol.read_file("IIVISION") == make_disk.player_binary()
+    out2 = tmp_path / "player.dsk"
+    assert make_disk.main([str(out2), "--template", str(out)]) == 0
+    v2 = prodos.ProDOSVolume.from_bytes(out2.read_bytes())
+    assert {e.name for e in v2.list_files()} == {"IIVISION"}
