@@ -179,12 +179,12 @@ def plan_movie(
 
 @functools.lru_cache(None)
 def _jitted_prepare(mode: VideoMode):
-    import jax
+    from iivision_tpu.aot import aot_jit
 
     def f(main, aux):
         return prepare_targets(main, aux if mode == VideoMode.DHGR
                                else None, mode)
-    return jax.jit(f)
+    return aot_jit(f, ("prepare", mode.name))
 
 
 def prepare_targets_jit(frames_main, frames_aux, mode: VideoMode):
@@ -555,17 +555,19 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 @functools.lru_cache(None)
 def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
                    chunk_steps: int = 1):
-    import jax
-    return jax.jit(_build_encode_scan(mode, k, deterministic, j,
-                                      chunk_steps))
+    from iivision_tpu.aot import aot_jit
+    return aot_jit(_build_encode_scan(mode, k, deterministic, j,
+                                      chunk_steps),
+                   ("encode", mode.name, k, deterministic, j, chunk_steps))
 
 
 @functools.lru_cache(None)
 def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
                   chunk_steps: int = 1):
-    import jax
-    return jax.jit(
-        _build_encode_scan(mode, k, deterministic, j, chunk_steps).chunk)
+    from iivision_tpu.aot import aot_jit
+    return aot_jit(
+        _build_encode_scan(mode, k, deterministic, j, chunk_steps).chunk,
+        ("encode_chunk", mode.name, k, deterministic, j, chunk_steps))
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,

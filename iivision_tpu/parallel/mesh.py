@@ -93,7 +93,8 @@ def _jitted_batch_ingest(mode: VideoMode, palette):
         return (lanes.reshape((B, F) + lanes.shape[1:]),
                 bytes_.reshape((B, F) + bytes_.shape[1:]))
 
-    return jax.jit(f)
+    from iivision_tpu.aot import aot_jit
+    return aot_jit(f, ("batch_ingest", mode.name, str(palette)))
 
 
 def ingest_movies_batch(rgb_b, mode: VideoMode, palette, mesh=None):
@@ -125,7 +126,10 @@ def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool,
         ops, main, aux = batched(*args)
         return ops.reshape(ops.shape[0], -1), main, aux
 
-    return jax.jit(batched_flat)
+    from iivision_tpu.aot import aot_jit
+    return aot_jit(batched_flat,
+                   ("batch_encode", mode.name, k, deterministic, j,
+                    chunk_steps))
 
 
 def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
