@@ -36,6 +36,18 @@ def _disabled() -> bool:
     return bool(os.environ.get("IIVISION_NO_COMPILE_CACHE"))
 
 
+def _use_export(backend: str) -> bool:
+    if os.environ.get("IIVISION_AOT_FORCE"):  # tests: exercise on CPU
+        return True
+    return backend in _SLOW_LOWER_BACKENDS
+
+
+def _export_platform(backend: str) -> str:
+    # axon is a remote TPU: lower for the generic tpu platform (fast,
+    # backend-independent).  Any other backend exports for itself.
+    return "tpu" if backend in _SLOW_LOWER_BACKENDS else backend
+
+
 def _cache_dir() -> str:
     return os.path.join(
         os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
@@ -61,6 +73,7 @@ class _AotFn:
         self._plain = None        # lazy jax.jit fallback
         self._by_avals = {}       # avals -> jitted exported call
         self._lock = threading.Lock()
+        self._warned = False
 
     def _plain_jit(self):
         import jax
@@ -69,7 +82,7 @@ class _AotFn:
             self._plain = jax.jit(self._fn)
         return self._plain
 
-    def _exported(self, args):
+    def _exported(self, args, platform: str):
         import jax
 
         avals = tuple((tuple(a.shape), str(a.dtype)) for a in args)
@@ -80,7 +93,7 @@ class _AotFn:
             fn = self._by_avals.get(avals)
             if fn is not None:
                 return fn
-            path = _blob_path(self._key, avals)
+            path = _blob_path(self._key + (platform,), avals)
             exp = None
             if os.path.exists(path):
                 try:
@@ -92,7 +105,7 @@ class _AotFn:
                 specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                          for a in args]
                 exp = jax.export.export(
-                    jax.jit(self._fn), platforms=["tpu"])(*specs)
+                    jax.jit(self._fn), platforms=[platform])(*specs)
                 try:
                     os.makedirs(_cache_dir(), exist_ok=True)
                     tmp = path + ".tmp.%d" % os.getpid()
@@ -109,14 +122,22 @@ class _AotFn:
         import jax
         import jax.numpy as jnp
 
-        if _disabled() or jax.default_backend() not in _SLOW_LOWER_BACKENDS:
+        backend = jax.default_backend()
+        if _disabled() or not _use_export(backend):
             return self._plain_jit()(*args)
         args = tuple(jnp.asarray(a) for a in args)
         try:
-            return self._exported(args)(*args)
-        except Exception:
+            return self._exported(args, _export_platform(backend))(*args)
+        except Exception as e:
             # any export-path failure (unsupported primitive, platform
             # mismatch) falls back to the direct jit - slower, never wrong
+            if not self._warned:
+                self._warned = True
+                import warnings
+                warnings.warn(
+                    "aot export path failed for %r (%s: %s); falling back "
+                    "to direct jit (slow lowering on %s)"
+                    % (self._key, type(e).__name__, e, backend))
             return self._plain_jit()(*args)
 
 

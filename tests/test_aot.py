@@ -1,0 +1,115 @@
+"""AOT export cache (iivision_tpu.aot): correctness + blob caching.
+
+The export path is how every program reaches the tunneled TPU backend
+(where native lowering takes minutes); on CPU it only activates under
+IIVISION_AOT_FORCE so these tests can exercise it hermetically.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iivision_tpu import aot
+
+
+@pytest.fixture
+def forced(monkeypatch, tmp_path):
+    monkeypatch.setenv("IIVISION_AOT_FORCE", "1")
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    return tmp_path / "iivision_tpu" / "export_cache"
+
+
+def scan_prog(xs, key):
+    # representative program shape: scan + PRNG + gather, like the encoder
+    def body(c, x):
+        r = jax.random.fold_in(key, c[0])
+        n = jax.random.randint(r, (), 0, 100, jnp.int32)
+        return (c[0] + 1, c[1] + x * n), x[n % x.shape[0]]
+    (_, tot), ys = jax.lax.scan(body, (0, jnp.zeros_like(xs[0])), xs)
+    return tot, ys
+
+
+def test_export_equals_direct_jit(forced):
+    xs = jnp.arange(24, dtype=jnp.int32).reshape(4, 6)
+    key = jax.random.PRNGKey(9)
+    fn = aot.aot_jit(scan_prog, ("test_scan",))
+    tot, ys = fn(xs, key)
+    ref_tot, ref_ys = jax.jit(scan_prog)(xs, key)
+    np.testing.assert_array_equal(np.asarray(tot), np.asarray(ref_tot))
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(ref_ys))
+    blobs = list(forced.glob("*.stablehlo"))
+    assert len(blobs) == 1 and blobs[0].stat().st_size > 0
+
+
+def test_blob_reload_and_shape_keying(forced):
+    key = jax.random.PRNGKey(0)
+    fn = aot.aot_jit(scan_prog, ("test_scan",))
+    a = fn(jnp.ones((3, 5), jnp.int32), key)
+    b = fn(jnp.ones((2, 7), jnp.int32), key)  # second shape, second blob
+    assert len(list(forced.glob("*.stablehlo"))) == 2
+    # a fresh wrapper (new process stand-in) must answer from the blobs
+    fn2 = aot.aot_jit(scan_prog, ("test_scan",))
+    a2 = fn2(jnp.ones((3, 5), jnp.int32), key)
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(a2[1]))
+    assert len(list(forced.glob("*.stablehlo"))) == 2  # no re-export
+
+
+def test_corrupt_blob_recovers(forced):
+    key = jax.random.PRNGKey(3)
+    xs = jnp.arange(10, dtype=jnp.int32).reshape(2, 5)
+    ref = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
+    (blob,) = forced.glob("*.stablehlo")
+    blob.write_bytes(b"not a stablehlo module")
+    out = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+
+
+def test_key_separates_programs(forced):
+    # same shapes, different closure parameter -> distinct cache entries
+    def make(mult):
+        return lambda x: x * mult
+    f2 = aot.aot_jit(make(2), ("mult", 2))
+    f3 = aot.aot_jit(make(3), ("mult", 3))
+    x = jnp.arange(8)
+    np.testing.assert_array_equal(np.asarray(f2(x)), np.arange(8) * 2)
+    np.testing.assert_array_equal(np.asarray(f3(x)), np.arange(8) * 3)
+    assert len(list(forced.glob("*.stablehlo"))) == 2
+
+
+def test_encoder_paths_through_aot(forced):
+    # the real encode program through the forced export path must match
+    # the direct-jit CPU result bit for bit
+    from iivision_tpu import encoder
+    from iivision_tpu.movie import get_distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.video_mode import VideoMode
+
+    rng = np.random.default_rng(11)
+    mode = VideoMode.DHGR
+    dist = get_distance(mode, Palette.NTSC)
+    F = 3
+    main = rng.integers(0, 256, (F, 32, 256), np.uint8)
+    aux_t = rng.integers(0, 256, (F, 32, 256), np.uint8)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=F, n_audio_ticks=F * 490, input_frame_rate=30.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode,
+        k=4, j=1)
+    lanes_t, bytes_t = encoder.prepare_targets_jit(main, aux_t, mode)
+    ops, fin_main, fin_aux = encoder.encode_movie(
+        dist, lanes_t, bytes_t, plan, mode, seed=5)
+
+    os.environ.pop("IIVISION_AOT_FORCE")
+    encoder._jitted_encode.cache_clear()
+    encoder._jitted_prepare.cache_clear()
+    lanes_r, bytes_r = encoder.prepare_targets_jit(main, aux_t, mode)
+    ref_ops, ref_main, ref_aux = encoder.encode_movie(
+        dist, lanes_r, bytes_r, plan, mode, seed=5)
+    encoder._jitted_encode.cache_clear()
+    encoder._jitted_prepare.cache_clear()
+
+    np.testing.assert_array_equal(np.asarray(ops), np.asarray(ref_ops))
+    np.testing.assert_array_equal(np.asarray(fin_main), np.asarray(ref_main))
+    np.testing.assert_array_equal(np.asarray(fin_aux), np.asarray(ref_aux))
