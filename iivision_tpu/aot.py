@@ -36,16 +36,32 @@ def _disabled() -> bool:
     return bool(os.environ.get("IIVISION_NO_COMPILE_CACHE"))
 
 
+def _active_platform() -> str:
+    """The configured platform name, not the canonical device kind.
+
+    ``jax.default_backend()`` reports the canonical platform ("tpu") even
+    when the registered backend is the tunneled "axon" plugin, so gate on
+    the platform *list* jax was configured with (set by sitecustomize /
+    JAX_PLATFORMS) - that is where the remote plugin announces itself.
+    """
+    import jax
+
+    plats = (jax.config.jax_platforms or "")
+    first = plats.split(",")[0].strip()
+    return first or jax.default_backend()
+
+
 def _use_export(backend: str) -> bool:
     if os.environ.get("IIVISION_AOT_FORCE"):  # tests: exercise on CPU
         return True
-    return backend in _SLOW_LOWER_BACKENDS
+    return _active_platform() in _SLOW_LOWER_BACKENDS
 
 
 def _export_platform(backend: str) -> str:
     # axon is a remote TPU: lower for the generic tpu platform (fast,
-    # backend-independent).  Any other backend exports for itself.
-    return "tpu" if backend in _SLOW_LOWER_BACKENDS else backend
+    # backend-independent).  Any other platform exports for the canonical
+    # backend name jax reports.
+    return "tpu" if _active_platform() in _SLOW_LOWER_BACKENDS else backend
 
 
 def _cache_dir() -> str:

@@ -194,12 +194,24 @@ def prepare_targets_jit(frames_main, frames_aux, mode: VideoMode):
     backend each eager dispatch costs milliseconds (and 100x that in a
     process degraded by a slow compile), which made per-segment target
     preparation dominate streamed encodes.
+
+    The frame count is padded (last frame repeated) to a multiple of 16
+    so arbitrary movie lengths share compiled programs - the encode scan
+    never reads past the plan's last frame, so padded rows are inert.
+    Returned arrays have the PADDED leading dimension.
     """
     import jax.numpy as jnp
 
-    main = jnp.asarray(np.asarray(frames_main))
-    aux = main if frames_aux is None else jnp.asarray(
-        np.asarray(frames_aux))
+    main = np.asarray(frames_main)
+    aux = None if frames_aux is None else np.asarray(frames_aux)
+    F = len(main)
+    pad = (-F) % 16
+    if pad:
+        main = np.concatenate([main, np.repeat(main[-1:], pad, 0)])
+        if aux is not None:
+            aux = np.concatenate([aux, np.repeat(aux[-1:], pad, 0)])
+    main = jnp.asarray(main)
+    aux = main if aux is None else jnp.asarray(aux)
     return _jitted_prepare(mode)(main, aux)
 
 
@@ -570,6 +582,39 @@ def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
         ("encode_chunk", mode.name, k, deterministic, j, chunk_steps))
 
 
+def _bucket_steps(n: int, chunk_steps: int) -> int:
+    """Pad a step count to a shared bucket (multiple of chunk_steps).
+
+    Every distinct step count is a distinct XLA program; bucketing
+    collapses arbitrary movie lengths onto a bounded program family (a
+    fresh program costs minutes on a cold remote compile service).
+    Buckets are 1/32-octave: padding waste is <=~6% of the scan, and at
+    most 32 programs exist per power of two of movie length.  Trailing
+    steps are nvalid=0 no-ops: ops output and final screen state are
+    bit-identical (same mechanism as the chunked path's padding)."""
+    p2 = 64
+    while p2 < n:
+        p2 *= 2
+    q = max(64, p2 // 32)
+    n = -(-n // q) * q
+    return -(-n // chunk_steps) * chunk_steps
+
+
+def pad_plan_steps(plan: MoviePlan):
+    """(step_frame, step_bank, step_recompute, step_nvalid) padded to the
+    step bucket; returns (arrays tuple, S_real)."""
+    sf, sb = plan.step_frame, plan.step_bank
+    sr, sn = plan.step_recompute, plan.step_nvalid
+    S_real = len(sf)
+    pad = _bucket_steps(S_real, plan.chunk_steps) - S_real
+    if pad:
+        sf = np.concatenate([sf, np.full(pad, sf[-1], sf.dtype)])
+        sb = np.concatenate([sb, np.full(pad, sb[-1], sb.dtype)])
+        sr = np.concatenate([sr, np.zeros(pad, sr.dtype)])
+        sn = np.concatenate([sn, np.zeros(pad, sn.dtype)])
+    return (sf, sb, sr, sn), S_real
+
+
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
                  mode: VideoMode, seed: Optional[int] = 0):
     """Encode a planned movie on the accelerator.
@@ -584,11 +629,15 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
     fn = _jitted_encode(mode, plan.k, seed is None, plan.j,
                         plan.chunk_steps)
     key = jax.random.PRNGKey(0 if seed is None else seed)
-    return fn(jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
-              lanes_tgt, bytes_tgt,
-              jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
-              jnp.asarray(plan.step_recompute),
-              jnp.asarray(plan.step_nvalid), key)
+    (sf, sb, sr, sn), S_real = pad_plan_steps(plan)
+    ops, main, aux = fn(
+        jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
+        lanes_tgt, bytes_tgt,
+        jnp.asarray(sf), jnp.asarray(sb), jnp.asarray(sr),
+        jnp.asarray(sn), key)
+    if len(sf) != S_real:
+        ops = ops[:S_real]
+    return ops, main, aux
 
 
 def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
@@ -795,10 +844,15 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
 
 
 def flatten_ops(ops: np.ndarray, plan: MoviePlan) -> np.ndarray:
-    """(S, K*J, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only."""
-    S, k, _ = ops.shape
+    """(S, K*J, 6) step-major ops -> (n_ops, 6) stream-ordered, valid only.
+
+    Accepts step-bucket-padded ops (S >= len(plan.step_frame)); padded
+    trailing steps are all-invalid by construction and are dropped."""
+    S_real = len(plan.step_nvalid)
+    ops = np.asarray(ops)[:S_real]
+    k = ops.shape[1]
     valid = np.arange(k)[None, :] < plan.step_nvalid[:, None]
-    flat = np.asarray(ops).reshape(S * k, OP_FIELDS)
+    flat = ops.reshape(S_real * k, OP_FIELDS)
     return flat[valid.reshape(-1)]
 
 

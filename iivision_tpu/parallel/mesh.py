@@ -152,6 +152,10 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
+    # step-bucket padding: arbitrary clip lengths share compiled programs
+    # (padded steps are nvalid=0 no-ops; fetch_ops_compact's static index
+    # and flatten_ops both drop them)
+    (sf, sb, sr, sn), _ = encoder.pad_plan_steps(plan)
 
     if mesh is not None:
         lanes_tgt_b = shard_batch(lanes_tgt_b, mesh)
@@ -161,9 +165,8 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
         sub = replicate(sub, mesh)
 
     return fn(store_cost, sub, lanes_tgt_b, bytes_tgt_b,
-              jnp.asarray(plan.step_frame), jnp.asarray(plan.step_bank),
-              jnp.asarray(plan.step_recompute),
-              jnp.asarray(plan.step_nvalid), keys)
+              jnp.asarray(sf), jnp.asarray(sb),
+              jnp.asarray(sr), jnp.asarray(sn), keys)
 
 
 def encode_movies_mixed(dist, movies, mode: VideoMode,
