@@ -203,6 +203,30 @@ def main():
         return [emit_stream_fast(flat_b[i], levels, VideoMode.DHGR)
                 for i in range(B)]
 
+    def compact_parts(ops_b, streams=4):
+        """Device-side compact gather + movie-axis slicing, dispatched
+        from the MAIN thread (worker dispatches would queue behind the
+        next batch's synchronous compute RPCs)."""
+        kj = plan.k * plan.j
+        valid = (np.arange(kj)[None, :]
+                 < plan.step_nvalid[:, None]).reshape(-1)
+        idx = np.flatnonzero(valid).astype(np.int32)
+        dev = pmesh._jitted_compact(idx.tobytes(), len(idx))(ops_b)
+        bounds = np.linspace(0, B, streams + 1).astype(int)
+        parts = [dev[b0:b1] for b0, b1 in zip(bounds[:-1], bounds[1:])]
+        jax.block_until_ready(parts)
+        return parts
+
+    from concurrent.futures import ThreadPoolExecutor
+    xfer_pool = ThreadPoolExecutor(4)
+    drv_pool = ThreadPoolExecutor(1)
+
+    def fetch_emit(parts, levels):
+        """Pure-transfer fetch over 4 concurrent streams (~45 MB/s vs
+        ~9-29 single; the tunnel I/O releases the GIL) + host emission."""
+        flat = np.concatenate(list(xfer_pool.map(np.asarray, parts)), 0)
+        return emit_all(flat, levels)
+
     log("batched warm-up (compiling ingest + vmapped scan)...")
     ops_b, levels_dev = run_pipeline(0)
     levels_host = np.asarray(levels_dev)[:plan.n_ops]
@@ -224,20 +248,23 @@ def main():
     res_b = PlayerVM().decode(streams[-1])
     assert res_b.ok, res_b.error
 
-    # steady-state: device computes batch r+1 while the host transfers+emits
-    # batch r (async dispatch overlaps them)
+    # steady-state: device computes batch r+1 while a worker thread pulls
+    # batch r's compacted ops over 4 concurrent streams and emits bytes.
+    # Dispatch here is SYNCHRONOUS over the tunnel, so overlap requires
+    # the transfer to own a thread (its blocking I/O releases the GIL).
     R = 4
     pipe_x = 0.0
     for rep in range(3):
         t0 = time.time()
         pending, lv = run_pipeline(5000 + 1000 * rep)
+        parts = compact_parts(pending)
         for r in range(1, R):
-            nxt, lv2 = run_pipeline(5000 + 1000 * rep + r * B)
-            streams = emit_all(pmesh.fetch_ops_compact(pending, plan),
-                               np.asarray(lv)[:plan.n_ops])
-            pending, lv = nxt, lv2
-        streams = emit_all(pmesh.fetch_ops_compact(pending, plan),
-                           np.asarray(lv)[:plan.n_ops])
+            fut = drv_pool.submit(fetch_emit, parts,
+                                  np.asarray(lv)[:plan.n_ops])
+            nxt, lv = run_pipeline(5000 + 1000 * rep + r * B)
+            parts = compact_parts(nxt)
+            streams = fut.result()
+        streams = fetch_emit(parts, np.asarray(lv)[:plan.n_ops])
         pipe_wall = time.time() - t0
         rep_x = R * B * stats["movie_seconds"] / pipe_wall
         log("pipelined %dx B=%d rep %d: %.2fs wall -> %.1fx realtime"

@@ -298,6 +298,73 @@ def fetch_ops_compact(ops_dev, plan: encoder.MoviePlan) -> np.ndarray:
     return np.asarray(fn(ops_dev))
 
 
+_FETCH_POOL = None
+_FETCH_DRIVER = None
+
+
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCH_POOL = ThreadPoolExecutor(4, thread_name_prefix="iiv-fetch")
+    return _FETCH_POOL
+
+
+def fetch_ops_parallel(ops_dev, plan: encoder.MoviePlan,
+                       compact: bool = True, streams: int = 4) -> np.ndarray:
+    """Fetch batched ops over multiple concurrent host streams.
+
+    The tunneled device link moves ~9-29 MB/s on one connection but
+    ~45 MB/s across 4 concurrent transfers (measured), so the batch is
+    sliced device-side along the movie axis and pulled by a small thread
+    pool (the blocking transfer releases the GIL).  With compact=True the
+    static valid-op gather runs on device first, so only n_ops x 6 bytes
+    per movie cross the link.  Returns (B, n_ops, 6) uint8 (compact) or
+    the padded (B, S, K*J, 6) view (compact=False).
+    """
+    import jax
+
+    if compact:
+        kj = plan.k * plan.j
+        valid = (np.arange(kj)[None, :]
+                 < plan.step_nvalid[:, None]).reshape(-1)
+        idx = np.flatnonzero(valid).astype(np.int32)
+        dev = _jitted_compact(idx.tobytes(), len(idx))(ops_dev)
+    else:
+        dev = ops_dev
+    B = dev.shape[0]
+    streams = max(1, min(streams, B))
+    bounds = np.linspace(0, B, streams + 1).astype(int)
+    parts = [dev[b0:b1] for b0, b1 in zip(bounds[:-1], bounds[1:])
+             if b1 > b0]
+    jax.block_until_ready(parts)
+    outs = list(_fetch_pool().map(np.asarray, parts))
+    out = np.concatenate(outs, axis=0)
+    if not compact:
+        return fetch_ops(out, plan) if out.ndim == 2 else out
+    return out
+
+
+def fetch_ops_parallel_future(ops_dev, plan: encoder.MoviePlan,
+                              compact: bool = True, streams: int = 4):
+    """fetch_ops_parallel in a background thread; returns a Future.
+
+    Start this BEFORE dispatching the next batch's programs: dispatch on
+    this backend is synchronous, so overlap only happens when the fetch
+    owns its own thread (its blocking tunnel I/O releases the GIL while
+    the main thread drives the next batch's compute).
+    """
+    global _FETCH_DRIVER
+    if _FETCH_DRIVER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCH_DRIVER = ThreadPoolExecutor(
+            1, thread_name_prefix="iiv-fetch-drv")
+    return _FETCH_DRIVER.submit(
+        fetch_ops_parallel, ops_dev, plan, compact, streams)
+
+
 def build_tables_sharded(mode: VideoMode, palette, mesh,
                          axis: str = "movies", n_rows: Optional[int] = None):
     """Edit-distance LUT generation sharded over the mesh (row blocks of the

@@ -210,6 +210,18 @@ def test_fetch_ops_compact_matches_flatten():
     for i in range(B):
         assert np.array_equal(compact[i], encoder.flatten_ops(full[i], plan))
 
+    # multi-stream fetch (sliced on the movie axis, pulled by a thread
+    # pool) must be bit-equal to the single-stream paths, for every
+    # stream count incl. degenerate ones
+    for streams in (1, 2, 4, 7):
+        par = pmesh.fetch_ops_parallel(ops_b, plan, compact=True,
+                                       streams=streams)
+        assert np.array_equal(par, compact), streams
+    par_full = pmesh.fetch_ops_parallel(ops_b, plan, compact=False)
+    assert np.array_equal(par_full, np.asarray(full))
+    fut = pmesh.fetch_ops_parallel_future(ops_b, plan)
+    assert np.array_equal(fut.result(), compact)
+
 
 def test_build_tables_sharded_equals_unsharded():
     """Row-sharded LUT generation must be bit-equal to the unsharded
