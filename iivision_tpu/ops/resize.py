@@ -67,19 +67,89 @@ def resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+_PRECISION_BITS = 22  # PIL's 8bpc fixed point (Resample.c: 32 - 8 - 2)
+
+
+@functools.lru_cache(None)
+def _pil_coeffs(n_in: int, n_out: int) -> Tuple[np.ndarray, np.ndarray]:
+    """PIL's exact fixed-point resample coefficients for one axis.
+
+    Replicates Pillow Resample.c precompute_coeffs + normalize_coeffs_8bpc
+    in double precision: per-output-tap windows clipped to the image,
+    renormalized over in-range taps, then quantized round-half-away to
+    int32 at 2^22.  Returns (bounds (n_out, 2) {min, count}, kk (n_out,
+    ksize) int32) for the native integer convolution (sim/native.resample_*).
+    """
+    import math
+
+    scale = n_in / n_out
+    fscale = max(scale, 1.0)
+    support = _A * fscale
+    ksize = int(math.ceil(support)) * 2 + 1
+    bounds = np.zeros((n_out, 2), np.int32)
+    kk = np.zeros((n_out, ksize), np.int32)
+    inv = 1.0 / fscale
+    for xx in range(n_out):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        if xmin < 0:
+            xmin = 0
+        xmax = min(int(center + support + 0.5), n_in) - xmin
+        k = [0.0] * xmax
+        ww = 0.0
+        for x in range(xmax):
+            ax = abs((x + xmin - center + 0.5) * inv)
+            if ax >= _A:
+                w = 0.0
+            elif ax == 0.0:
+                w = 1.0
+            else:
+                px = math.pi * ax
+                w = (math.sin(px) / px) * (math.sin(px / _A) / (px / _A))
+            k[x] = w
+            ww += w
+        for x in range(xmax):
+            v = k[x] / ww * (1 << _PRECISION_BITS)
+            kk[xx, x] = int(v - 0.5) if v < 0 else int(v + 0.5)
+        bounds[xx] = (xmin, xmax)
+    return bounds, kk
+
+
+def _resize_host_native(flat: np.ndarray, h_out: int, w_out: int):
+    """Batched PIL-exact host resize via the C++ passes (one call per pass
+    for the WHOLE batch - no per-frame RGBX conversion round trips).
+    Horizontal then vertical, uint8 intermediate, exactly as Pillow's
+    ImagingResampleInner orders them."""
+    from iivision_tpu.sim import native
+
+    n, h_in, w_in, _ = flat.shape
+    if w_out != w_in:
+        flat = native.resample_h(flat, w_out, *_pil_coeffs(w_in, w_out))
+    if h_out != h_in:
+        flat = native.resample_v(flat, h_out, *_pil_coeffs(h_in, h_out))
+    return flat
+
+
 def resize_batch(frames, h_out: int, w_out: int):
     """Resize (..., H, W, C) uint8/float frames to (..., h_out, w_out, C).
 
-    Works on numpy arrays (host PIL path) and jax arrays (device matmul
-    path, jittable).  Returns uint8.
+    Works on numpy arrays (host native/PIL path) and jax arrays (device
+    matmul path, jittable).  Returns uint8.
     """
     h_in, w_in = frames.shape[-3], frames.shape[-2]
     if isinstance(frames, np.ndarray):
         if (h_in, w_in) == (h_out, w_out):
             return np.asarray(frames, dtype=np.uint8)
-        from PIL import Image
         flat = np.ascontiguousarray(frames, dtype=np.uint8).reshape(
             (-1, h_in, w_in, frames.shape[-1]))
+        if flat.shape[-1] == 3:
+            try:
+                out = _resize_host_native(flat, h_out, w_out)
+                return out.reshape(
+                    frames.shape[:-3] + (h_out, w_out, -1))
+            except Exception:
+                pass  # toolchain missing: PIL fallback below
+        from PIL import Image
         out = np.empty((flat.shape[0], h_out, w_out, flat.shape[-1]),
                        np.uint8)
         for i, f in enumerate(flat):

@@ -110,6 +110,64 @@ def hgr_fit(codes: np.ndarray) -> np.ndarray:
     return main.reshape(lead + (32, 256))
 
 
+@functools.lru_cache(None)
+def _resize_lib():
+    src = os.path.join(_CSRC, "resize_fast.cpp")
+    so = os.path.join(_CSRC, "libresize_fast.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        try:
+            # native ISA nearly halves the integer convolution time
+            subprocess.check_call(
+                ["g++", "-O3", "-march=native", "-funroll-loops",
+                 "-shared", "-fPIC", src, "-o", so])
+        except subprocess.CalledProcessError:
+            subprocess.check_call(
+                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
+    lib = ctypes.CDLL(so)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.resample_h_u8.restype = None
+    lib.resample_h_u8.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32, u8p]
+    lib.resample_v_u8.restype = None
+    lib.resample_v_u8.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32, i32p, u8p]
+    return lib
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def resample_h(flat: np.ndarray, w_out: int, bounds: np.ndarray,
+               kk: np.ndarray) -> np.ndarray:
+    """(N, h, w_in, 3) uint8 -> (N, h, w_out, 3), PIL-exact horizontal pass."""
+    n, h, w_in, c = flat.shape
+    assert c == 3
+    flat = np.ascontiguousarray(flat, np.uint8)
+    out = np.empty((n, h, w_out, 3), np.uint8)
+    _resize_lib().resample_h_u8(
+        _u8p(flat), n * h, w_in, w_out, _i32p(bounds), _i32p(kk),
+        kk.shape[1], _u8p(out))
+    return out
+
+
+def resample_v(flat: np.ndarray, h_out: int, bounds: np.ndarray,
+               kk: np.ndarray) -> np.ndarray:
+    """(N, h_in, w, 3) uint8 -> (N, h_out, w, 3), PIL-exact vertical pass."""
+    n, h_in, w, c = flat.shape
+    assert c == 3
+    flat = np.ascontiguousarray(flat, np.uint8)
+    out = np.empty((n, h_out, w, 3), np.uint8)
+    scratch = np.empty(w * 3, np.int32)
+    _resize_lib().resample_v_u8(
+        _u8p(flat), n, h_in, h_out, w, _i32p(bounds), _i32p(kk),
+        kk.shape[1], _i32p(scratch), _u8p(out))
+    return out
+
+
 def emit_stream(flat_ops: np.ndarray, levels: np.ndarray, lut: np.ndarray,
                 ack_addr: int, term_addr: int, mode_byte: int, dhgr: bool,
                 ops_first_frame: int, ops_per_frame: int) -> bytes:

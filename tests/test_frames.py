@@ -50,6 +50,25 @@ def test_resize_host_is_pil_exact():
     assert np.array_equal(ours, pil)
 
 
+def test_resize_native_is_pil_exact_all_shapes():
+    """The batched C++ resampler (sim/csrc/resize_fast.cpp) replicates
+    Pillow's fixed-point Resample.c bit-exactly: same coefficient
+    quantization (round-half-away at 2^22), same edge renormalization,
+    same uint8 intermediate between the horizontal and vertical passes."""
+    from PIL import Image
+
+    rng = np.random.default_rng(31)
+    for (hi, wi, ho, wo) in [(192, 280, 192, 140), (100, 100, 37, 53),
+                             (64, 64, 128, 90), (50, 280, 192, 140),
+                             (192, 280, 50, 280), (192, 140, 192, 280),
+                             (7, 9, 5, 4)]:
+        src = rng.integers(0, 256, (2, hi, wi, 3), dtype=np.uint8)
+        got = resize_mod._resize_host_native(src.copy(), ho, wo)
+        ref = np.stack([np.asarray(Image.fromarray(f).resize(
+            (wo, ho), Image.LANCZOS)) for f in src])
+        assert np.array_equal(got, ref), (hi, wi, ho, wo)
+
+
 def test_resize_device_matches_pil_closely():
     """The device matmul path is the same Lanczos-3 geometry PIL uses;
     outputs agree to within quantization (PIL uses fixed-point and rounds
