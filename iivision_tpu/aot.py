@@ -110,20 +110,15 @@ class _AotFn:
             if fn is not None:
                 return fn
             path = _blob_path(self._key + (platform,), avals)
-            # Executable-level cache: the remote service compiles a program
-            # server-side on its FIRST EXECUTION (145-370s for the encode
-            # scan), invisible to jax's persistent compile cache (the local
-            # XLA "compile" returns in <1s) and evicted from the service's
-            # own cache within tens of minutes.  Persisting the compiled
-            # executable itself is the only layer that actually skips it.
-            # keyed by the registered platform (axon/cpu/...), not the
-            # canonical "tpu" the export targets: executables are
-            # backend-binary-specific where exports are generic
-            exec_path = "%s.%s.exec" % (path, _active_platform())
-            fn = self._load_executable(exec_path)
-            if fn is not None:
-                self._by_avals[avals] = fn
-                return fn
+            # Measured dead end - do NOT add an executable-level cache
+            # (jax.experimental.serialize_executable) here: on the remote
+            # backend a deserialized executable still triggers the full
+            # server-side compile (~300-500s for the encode scan) at first
+            # MATERIALIZATION of an output (block_until_ready returns
+            # early, so timers that don't fetch lie about it), it repeats
+            # in EVERY process, and it bypasses the service's own global
+            # compile cache that makes the plain path below fast (service
+            # cache: ~2s warm-in-memory / ~35s warm-on-disk per process).
             exp = None
             if os.path.exists(path):
                 try:
@@ -144,54 +139,9 @@ class _AotFn:
                     os.replace(tmp, path)
                 except OSError:
                     pass  # cache dir unwritable: still usable in-process
-            specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
-            try:
-                compiled = jax.jit(exp.call).lower(*specs).compile()
-                self._save_executable(exec_path, compiled)
-                fn = compiled
-            except Exception:
-                fn = jax.jit(exp.call)  # explicit AOT unsupported: jit path
+            fn = jax.jit(exp.call)
             self._by_avals[avals] = fn
             return fn
-
-    @staticmethod
-    def _load_executable(exec_path: str):
-        """Deserialize a persisted compiled executable, or None."""
-        if not os.path.exists(exec_path):
-            return None
-        try:
-            import pickle
-
-            import jax
-            from jax.experimental import serialize_executable
-
-            with open(exec_path, "rb") as f:
-                payload = pickle.loads(f.read())
-            # execution_devices must be pinned to the default device:
-            # deserialize_and_load defaults to ALL client devices, which
-            # turns a single-device program into one expecting N shards
-            # on multi-device clients (e.g. the 8-virtual-CPU test mesh)
-            return serialize_executable.deserialize_and_load(
-                *payload, execution_devices=jax.devices()[:1])
-        except Exception:
-            return None  # stale (jax/runtime upgrade): recompile
-
-    @staticmethod
-    def _save_executable(exec_path: str, compiled) -> None:
-        import pickle
-
-        from jax.experimental import serialize_executable
-
-        try:
-            payload = serialize_executable.serialize(compiled)
-            blob = pickle.dumps(payload)
-            os.makedirs(_cache_dir(), exist_ok=True)
-            tmp = exec_path + ".tmp.%d" % os.getpid()
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, exec_path)
-        except Exception:
-            pass  # serialization unsupported on this backend: skip
 
     def __call__(self, *args):
         import jax

@@ -215,6 +215,22 @@ def prepare_targets_jit(frames_main, frames_aux, mode: VideoMode):
     return _jitted_prepare(mode)(main, aux)
 
 
+def prepare_targets_dev(main_dev, aux_dev, mode: VideoMode):
+    """prepare_targets_jit for DEVICE-RESIDENT, already-padded targets.
+
+    The solo transcode path uploads quantized target parts concurrently
+    with host quantization (movie.Movie.encode_ops) and concatenates them
+    on device; this entry skips prepare_targets_jit's host-side pad (which
+    would round-trip the arrays back over the link).  The leading frame
+    count must already be a multiple of 16 (the program-bucketing pad).
+    """
+    if len(main_dev) % 16:
+        raise ValueError("device targets must be padded to 16 frames, got %d"
+                         % len(main_dev))
+    return _jitted_prepare(mode)(main_dev,
+                                 main_dev if aux_dev is None else aux_dev)
+
+
 def prepare_targets(frames_main: np.ndarray,
                     frames_aux: Optional[np.ndarray],
                     mode: VideoMode):

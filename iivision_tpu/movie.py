@@ -137,6 +137,7 @@ class Movie:
             mode=self.video_mode, k=self.k, j=self.j)
         self.timings["plan_s"] = time.time() - t0
 
+        dev_targets = None
         if self._stream_source is not None:
             t0 = time.time()
             gen = frames.ingest_stream_array(
@@ -161,22 +162,70 @@ class Movie:
                 self.final_aux = np.asarray(fin_aux)
                 self.plan = plan
                 return flat, levels[:plan.n_ops]
-            # short movie: materialize targets (same threaded host
-            # pipeline) and run the single unchunked whole-movie scan -
-            # measured faster than segmenting at this length (the remote
-            # backend's synchronous dispatch makes per-segment round
-            # trips cost more than the overlap they buy)
-            parts = list(gen)
-            tm = np.concatenate([m for m, _ in parts]) \
-                if len(parts) > 1 else parts[0][0]
+            # short movie: materialize targets and run the single
+            # unchunked whole-movie scan - measured faster than
+            # segmenting at this length (the remote backend's synchronous
+            # dispatch makes per-segment round trips cost more than the
+            # overlap they buy).  THREE stages overlap on one core: the
+            # producer thread's C++ resize+quantize of part i+1, this
+            # thread's bookkeeping, and the io_pool's device_put of part
+            # i (blocking tunnel writes release the GIL, and concurrent
+            # puts multi-stream the link) - so by the time quantization
+            # finishes, the targets are already device-resident and the
+            # encode path skips its 2.4MB/10s-clip upload entirely.
+            import jax
+            import jax.numpy as jnp
+
+            from iivision_tpu.parallel.mesh import io_pool
+
+            pool = io_pool()
+            F_use = max(n_enc, 1)
+            host_parts = []
+            put_futs = []  # (fut_main, fut_aux|None) per uploaded part
+            off = 0
+            for pm, pa in gen:
+                host_parts.append((pm, pa))
+                lo, hi = max(off, 0), off + len(pm)
+                off = hi
+                lo_c, hi_c = min(lo, F_use), min(hi, F_use)
+                if hi_c > lo_c:  # only encoded frames cross the link
+                    fm = pool.submit(jax.device_put, pm[lo_c - lo:hi_c - lo])
+                    fa = None
+                    if pa is not None:
+                        fa = pool.submit(jax.device_put,
+                                         pa[lo_c - lo:hi_c - lo])
+                    put_futs.append((fm, fa))
+            tm = np.concatenate([m for m, _ in host_parts]) \
+                if len(host_parts) > 1 else host_parts[0][0]
             ta = None
             if self.video_mode == VideoMode.DHGR:
-                ta = np.concatenate([a for _, a in parts]) \
-                    if len(parts) > 1 else parts[0][1]
+                ta = np.concatenate([a for _, a in host_parts]) \
+                    if len(host_parts) > 1 else host_parts[0][1]
             self.frames = frames.MovieFrames(
                 targets_main=tm, targets_aux=ta,
                 n_frames_total=self._n_frames_total,
                 input_frame_rate=self._input_rate)
+            # program-bucketing pad (repeat the last encoded frame to a
+            # multiple of 16), uploaded as one extra small part - exactly
+            # prepare_targets_jit's host-side pad, done link-side
+            pad = (-F_use) % 16
+            if pad:
+                fm = pool.submit(jax.device_put,
+                                 np.repeat(tm[F_use - 1:F_use], pad, 0))
+                fa = None
+                if ta is not None:
+                    fa = pool.submit(jax.device_put,
+                                     np.repeat(ta[F_use - 1:F_use], pad, 0))
+                put_futs.append((fm, fa))
+            d_main = [f.result() for f, _ in put_futs]
+            d_main = jnp.concatenate(d_main) if len(d_main) > 1 \
+                else d_main[0]
+            d_aux = None
+            if self.video_mode == VideoMode.DHGR:
+                d_aux = [f.result() for _, f in put_futs]
+                d_aux = jnp.concatenate(d_aux) if len(d_aux) > 1 \
+                    else d_aux[0]
+            dev_targets = (d_main, d_aux)
             self.timings["frames_s"] += time.time() - t0
 
         assert n_enc <= len(self.frames.targets_main), (
@@ -196,8 +245,14 @@ class Movie:
                 self.dist, tgt_main, tgt_aux, plan, self.video_mode,
                 seed=self.seed, chunk_frames=chunk)
         else:
-            lanes_tgt, bytes_tgt = encoder.prepare_targets_jit(
-                tgt_main, tgt_aux, self.video_mode)
+            if dev_targets is not None:
+                # targets already device-resident (uploaded part-by-part
+                # during host quantization above): no h2d left to pay
+                lanes_tgt, bytes_tgt = encoder.prepare_targets_dev(
+                    dev_targets[0], dev_targets[1], self.video_mode)
+            else:
+                lanes_tgt, bytes_tgt = encoder.prepare_targets_jit(
+                    tgt_main, tgt_aux, self.video_mode)
             ops_dev, fin_main, fin_aux = encoder.encode_movie(
                 self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
                 seed=self.seed)

@@ -311,6 +311,17 @@ def _fetch_pool():
     return _FETCH_POOL
 
 
+def io_pool():
+    """Shared 4-thread pool for host<->device transfers.
+
+    The tunneled link moves ~9-29 MB/s per connection but ~45 MB/s across
+    4 concurrent transfers; device_put / np.asarray block in GIL-releasing
+    tunnel I/O, so a small thread pool multi-streams the link in both
+    directions (used by fetch_ops_parallel and the solo-movie upload
+    overlap in movie.Movie.encode_ops)."""
+    return _fetch_pool()
+
+
 def fetch_ops_parallel(ops_dev, plan: encoder.MoviePlan,
                        compact: bool = True, streams: int = 4) -> np.ndarray:
     """Fetch batched ops over multiple concurrent host streams.

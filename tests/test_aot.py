@@ -67,32 +67,17 @@ def test_corrupt_blob_recovers(forced):
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
 
 
-def test_exec_blob_answers_without_reexport(forced):
-    """The executable-level cache must serve a fresh wrapper on its own:
-    the remote backend's server-side compile happens on first execution
-    (invisible to jax's compile cache), so the persisted executable is the
-    only artifact that skips it.  Deleting the stablehlo proves the exec
-    blob alone carries the program."""
+def test_no_executable_blobs_written(forced):
+    """Guard against reintroducing the executable-level cache: on the
+    remote backend a deserialized executable re-triggers the full
+    server-side compile at first output materialization in EVERY process
+    and bypasses the service's global compile cache (measured ~300-500s
+    per process vs ~2-35s via the plain export path)."""
     key = jax.random.PRNGKey(4)
     xs = jnp.arange(12, dtype=jnp.int32).reshape(3, 4)
-    ref = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
-    execs = list(forced.glob("*.exec"))
-    assert len(execs) == 1 and execs[0].stat().st_size > 0
-    for p in forced.glob("*.stablehlo"):
-        p.unlink()
-    out = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
-    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
-    assert not list(forced.glob("*.stablehlo"))  # answered from .exec
-
-
-def test_corrupt_exec_blob_recovers(forced):
-    key = jax.random.PRNGKey(5)
-    xs = jnp.arange(8, dtype=jnp.int32).reshape(2, 4)
-    ref = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
-    (ex,) = forced.glob("*.exec")
-    ex.write_bytes(b"corrupt executable payload")
-    out = aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
-    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(out[1]))
+    aot.aot_jit(scan_prog, ("test_scan",))(xs, key)
+    assert list(forced.glob("*.stablehlo"))
+    assert not list(forced.glob("*.exec"))
 
 
 def test_key_separates_programs(forced):

@@ -181,6 +181,33 @@ def test_movie_end_to_end(tmp_path, mode):
         assert eqa.all(), np.argwhere(~eqa)[:5]
 
 
+@pytest.mark.parametrize("mode", [VideoMode.DHGR, VideoMode.HGR])
+def test_movie_stream_path_matches_ingest_path(tmp_path, mode):
+    """The overlapped-upload stream-source path (host quantize parts ->
+    concurrent device_put -> prepare_targets_dev) must emit a byte-
+    identical .a2m to the materialized frames.ingest + prepare_targets_jit
+    path: same quantization, same 16-frame pad (repeat of the last
+    encoded frame), same encode program."""
+    rgb = gradient_movie(F=6)
+    tone = (np.sin(2 * np.pi * 330 * np.arange(6000) / 6000) * 12000)
+    aud = audio_mod.Audio(data=tone.astype(np.float32), rate=14700,
+                          bitrate=14700)
+    kw = dict(every_n_video_frames=2, video_mode=mode,
+              palette=Palette.NTSC, k=8, dist=get_dist(mode))
+    m_stream = Movie(frames_source=rgb, audio_source=aud, **kw)
+    assert m_stream._stream_source is not None
+    p1 = str(tmp_path / "stream.a2m")
+    m_stream.transcode(p1)
+
+    np.savez(str(tmp_path / "clip.npz"), frames=rgb, frame_rate=30.0)
+    m_ingest = Movie(str(tmp_path / "clip.npz"), audio_source=aud, **kw)
+    assert m_ingest._stream_source is None
+    p2 = str(tmp_path / "ingest.a2m")
+    m_ingest.transcode(p2)
+
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
 def test_movie_silence_fallback(tmp_path):
     rgb = gradient_movie(F=2)
     np.savez(str(tmp_path / "clip.npz"), frames=rgb, frame_rate=30.0)
