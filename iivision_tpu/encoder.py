@@ -215,22 +215,6 @@ def prepare_targets_jit(frames_main, frames_aux, mode: VideoMode):
     return _jitted_prepare(mode)(main, aux)
 
 
-def prepare_targets_dev(main_dev, aux_dev, mode: VideoMode):
-    """prepare_targets_jit for DEVICE-RESIDENT, already-padded targets.
-
-    The solo transcode path uploads quantized target parts concurrently
-    with host quantization (movie.Movie.encode_ops) and concatenates them
-    on device; this entry skips prepare_targets_jit's host-side pad (which
-    would round-trip the arrays back over the link).  The leading frame
-    count must already be a multiple of 16 (the program-bucketing pad).
-    """
-    if len(main_dev) % 16:
-        raise ValueError("device targets must be padded to 16 frames, got %d"
-                         % len(main_dev))
-    return _jitted_prepare(mode)(main_dev,
-                                 main_dev if aux_dev is None else aux_dev)
-
-
 def prepare_targets(frames_main: np.ndarray,
                     frames_aux: Optional[np.ndarray],
                     mode: VideoMode):
@@ -552,6 +536,29 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                            step_frame, step_bank, step_recompute,
                            step_nvalid, key)
 
+    def full_frames(store_cost, sub, frames_main_u8, frames_aux_u8,
+                    step_frame, step_bank, step_recompute, step_nvalid,
+                    key):
+        """Lane preparation + the whole-movie scan in ONE dispatch (the
+        solo fast path): raw uint8 screen banks in, ops out.  Ops are
+        returned as FETCH_SPLITS equal FLAT parts (separate outputs of
+        the same program, so splitting costs no extra dispatch) - the
+        host pulls them over concurrent tunnel streams (the link moves
+        ~9-29 MB/s on one connection, ~45 MB/s across 4), and flat
+        beats the tiled (S, K*J, 6) layout by ~1.6x on transfer."""
+        lanes_tgt, bytes_tgt = prepare_targets(
+            frames_main_u8,
+            frames_aux_u8 if mode == VideoMode.DHGR else None, mode)
+        ops, main, aux = encode_scan(
+            store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
+            step_bank, step_recompute, step_nvalid, key)
+        S = ops.shape[0]
+        bounds = [(i * S) // FETCH_SPLITS for i in range(1, FETCH_SPLITS)]
+        parts = tuple(p.reshape(-1) for p in jnp.split(ops, bounds))
+        return parts + (main, aux)
+
+    full.full_frames = full_frames
+
     def chunk(store_cost, sub, frames_main_u8, frames_aux_u8,
               step_frame, step_bank, step_recompute, step_nvalid,
               step_index, banks0, up0, dw0, sc0, key):
@@ -587,6 +594,19 @@ def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
     return aot_jit(_build_encode_scan(mode, k, deterministic, j,
                                       chunk_steps),
                    ("encode", mode.name, k, deterministic, j, chunk_steps))
+
+
+FETCH_SPLITS = 4  # concurrent tunnel streams for the solo ops fetch
+
+
+@functools.lru_cache(None)
+def _jitted_frames_encode(mode: VideoMode, k: int, deterministic: bool,
+                          j: int = 1, chunk_steps: int = 1):
+    from iivision_tpu.aot import aot_jit
+    return aot_jit(
+        _build_encode_scan(mode, k, deterministic, j,
+                           chunk_steps).full_frames,
+        ("encode_frames", mode.name, k, deterministic, j, chunk_steps))
 
 
 @functools.lru_cache(None)
@@ -654,6 +674,42 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
     if len(sf) != S_real:
         ops = ops[:S_real]
     return ops, main, aux
+
+
+def encode_movie_from_frames(dist, frames_main_dev, frames_aux_dev,
+                             plan: MoviePlan, mode: VideoMode,
+                             seed: Optional[int] = 0):
+    """Solo fast path: encode from DEVICE-RESIDENT raw uint8 targets.
+
+    Fuses lane preparation into the encode program (one dispatch instead
+    of prepare + encode) and returns the ops as FETCH_SPLITS flat uint8
+    device arrays for concurrent host fetch, plus the final screen banks
+    still on device.  Callers reassemble with `ops_from_parts`.
+    Bit-identical to prepare_targets_jit + encode_movie (differential
+    test: tests/test_pipeline.py stream-vs-ingest).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = _jitted_frames_encode(mode, plan.k, seed is None, plan.j,
+                               plan.chunk_steps)
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    (sf, sb, sr, sn), S_real = pad_plan_steps(plan)
+    out = fn(
+        jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
+        frames_main_dev,
+        frames_main_dev if frames_aux_dev is None else frames_aux_dev,
+        jnp.asarray(sf), jnp.asarray(sb), jnp.asarray(sr),
+        jnp.asarray(sn), key)
+    return out[:FETCH_SPLITS], out[FETCH_SPLITS], out[FETCH_SPLITS + 1]
+
+
+def ops_from_parts(parts, plan: MoviePlan) -> np.ndarray:
+    """Host-side reassembly of encode_movie_from_frames's fetched ops
+    parts -> the padded (S, K*J, 6) array flatten_ops accepts."""
+    kj = plan.k * plan.j
+    flat = np.concatenate([np.asarray(p) for p in parts])
+    return flat.reshape(-1, kj, OP_FIELDS)
 
 
 def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,

@@ -124,6 +124,33 @@ class Movie:
             video_mode, palette, colour_model)
         self.timings["tables_s"] = time.time() - t0
 
+    def _set_final(self, fin_main, fin_aux, lazy: bool = False):
+        """Record the encoder's final screen state.
+
+        lazy=True keeps the (32, 256) banks on device and fetches only
+        when final_main/final_aux are first read - producing the .a2m
+        does not need them, and on the tunneled backend even an 8KB
+        fetch pays ~tens of ms of fixed per-transfer cost."""
+        if lazy:
+            self._fin_main, self._fin_aux = None, None
+            self._fin_dev = (fin_main, fin_aux)
+        else:
+            self._fin_main = np.asarray(fin_main)
+            self._fin_aux = np.asarray(fin_aux)
+            self._fin_dev = None
+
+    @property
+    def final_main(self) -> np.ndarray:
+        if self._fin_main is None:
+            self._fin_main = np.asarray(self._fin_dev[0])
+        return self._fin_main
+
+    @property
+    def final_aux(self) -> np.ndarray:
+        if self._fin_aux is None:
+            self._fin_aux = np.asarray(self._fin_dev[1])
+        return self._fin_aux
+
     def encode_ops(self):
         """Run the encoder; returns (flat ops (n,6), audio levels (n,))."""
         t0 = time.time()
@@ -158,8 +185,7 @@ class Movie:
                     input_frame_rate=self._input_rate)
                 flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
                 self.timings["encode_s"] = time.time() - t0
-                self.final_main = np.asarray(fin_main)
-                self.final_aux = np.asarray(fin_aux)
+                self._set_final(fin_main, fin_aux)
                 self.plan = plan
                 return flat, levels[:plan.n_ops]
             # short movie: materialize targets and run the single
@@ -247,19 +273,31 @@ class Movie:
         else:
             if dev_targets is not None:
                 # targets already device-resident (uploaded part-by-part
-                # during host quantization above): no h2d left to pay
-                lanes_tgt, bytes_tgt = encoder.prepare_targets_dev(
-                    dev_targets[0], dev_targets[1], self.video_mode)
-            else:
-                lanes_tgt, bytes_tgt = encoder.prepare_targets_jit(
-                    tgt_main, tgt_aux, self.video_mode)
+                # during host quantization above): lane prep is fused
+                # into the encode program (one dispatch), ops come back
+                # as FETCH_SPLITS flat parts pulled over concurrent
+                # tunnel streams, and the final screens stay on device
+                # until someone actually reads them (lazy properties)
+                from iivision_tpu.parallel.mesh import io_pool
+
+                parts, fin_main, fin_aux = encoder.encode_movie_from_frames(
+                    self.dist, dev_targets[0], dev_targets[1],
+                    plan, self.video_mode, seed=self.seed)
+                fetched = list(io_pool().map(np.asarray, parts))
+                flat = encoder.flatten_ops(
+                    encoder.ops_from_parts(fetched, plan), plan)
+                self.timings["encode_s"] = time.time() - t0
+                self._set_final(fin_main, fin_aux, lazy=True)
+                self.plan = plan
+                return flat, levels[:plan.n_ops]
+            lanes_tgt, bytes_tgt = encoder.prepare_targets_jit(
+                tgt_main, tgt_aux, self.video_mode)
             ops_dev, fin_main, fin_aux = encoder.encode_movie(
                 self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
                 seed=self.seed)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0
-        self.final_main = np.asarray(fin_main)
-        self.final_aux = np.asarray(fin_aux)
+        self._set_final(fin_main, fin_aux)
         self.plan = plan
         return flat, levels[:plan.n_ops]
 
