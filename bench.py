@@ -25,8 +25,14 @@ realtime on CPU (reference README.md:131), i.e. baseline = 0.2x realtime.
 """
 
 import json
+import os
 import sys
 import time
+
+# must precede the numpy import: numpy's MADV_HUGEPAGE on large buffers
+# triggers synchronous THP compaction per fault on this host (measured
+# 40x slowdown on fresh-buffer first-touch; see iivision_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 import numpy as np
 
@@ -101,6 +107,25 @@ def main():
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
+    # A process that performs any slow (>~1 min) compile suffers degraded
+    # per-dispatch latency for the REST OF ITS LIFE (3-8ms/dispatch,
+    # measured - see CLAUDE.md), which taints every number measured after
+    # it.  So all compiles happen in a --warm-only CHILD process first
+    # (the remote service caches compiles globally); the measuring parent
+    # then only pays fast cache loads and stays healthy.
+    measure = "--warm-only" not in sys.argv
+    import os
+    import subprocess
+    if measure and not os.environ.get("IIVISION_BENCH_NO_CHILD"):
+        log("pre-warming the compile service in a child process...")
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, __file__, "--warm-only"],
+            env={**os.environ, "IIVISION_BENCH_NO_CHILD": "1"},
+            stdout=subprocess.DEVNULL, timeout=3600)
+        log("pre-warm child: %.0fs (rc=%d)" % (time.time() - t0,
+                                               r.returncode))
+
     import jax
     log("backend:", jax.default_backend(), jax.devices())
 
@@ -147,21 +172,25 @@ def main():
     log("warm-up timings:", {k: round(v, 2) if isinstance(v, float) else v
                             for k, v in m.timings.items()})
 
-    t0 = time.time()
-    m = build_movie(phase=1.0)  # distinct inputs defeat dispatch dedup
-    stats = m.transcode("/tmp/bench.a2m")
-    wall = time.time() - t0
-    realtime_x = stats["movie_seconds"] / wall
+    realtime_x = 0.0
+    stats = dict(m.timings)
+    if measure:
+        t0 = time.time()
+        m = build_movie(phase=1.0)  # distinct inputs defeat dispatch dedup
+        stats = m.transcode("/tmp/bench.a2m")
+        wall = time.time() - t0
+        realtime_x = stats["movie_seconds"] / wall
 
-    res = PlayerVM().decode(open("/tmp/bench.a2m", "rb").read())
-    assert res.ok, (res.error, res.error_pos)
-    assert res.n_ops == stats["n_ops"]
-    log("stream validated: %d ops, %d acks, %.2fs playback"
-        % (res.n_ops, res.n_acks, res.playback_seconds))
-    log("measured timings:", {k: round(v, 3) if isinstance(v, float) else v
-                             for k, v in stats.items()})
-    log("single-movie realtime_x = %.2f (source %dx%d, resize+quantize+audio"
-        " included)" % (realtime_x, SRC_W, SRC_H))
+        res = PlayerVM().decode(open("/tmp/bench.a2m", "rb").read())
+        assert res.ok, (res.error, res.error_pos)
+        assert res.n_ops == stats["n_ops"]
+        log("stream validated: %d ops, %d acks, %.2fs playback"
+            % (res.n_ops, res.n_acks, res.playback_seconds))
+        log("measured timings:",
+            {k: round(v, 3) if isinstance(v, float) else v
+             for k, v in stats.items()})
+        log("single-movie realtime_x = %.2f (source %dx%d, "
+            "resize+quantize+audio included)" % (realtime_x, SRC_W, SRC_H))
 
     # --- batched per-chip throughput (full pipeline on device) --------------
     from iivision_tpu import encoder
@@ -237,24 +266,28 @@ def main():
     res_b = PlayerVM().decode(streams[-1])
     assert res_b.ok, res_b.error
 
-    t0 = time.time()
-    ops_b, levels_dev = run_pipeline(1000)
-    streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan),
-                       np.asarray(levels_dev)[:plan.n_ops])
-    batch_wall = time.time() - t0
-    batch_x = B * stats["movie_seconds"] / batch_wall
-    log("batched B=%d (ingest+encode+emit): %.2fs wall -> %.1fx realtime"
-        % (B, batch_wall, batch_x))
-    res_b = PlayerVM().decode(streams[-1])
-    assert res_b.ok, res_b.error
+    batch_x = 0.0
+    if measure:
+        t0 = time.time()
+        ops_b, levels_dev = run_pipeline(1000)
+        streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan),
+                           np.asarray(levels_dev)[:plan.n_ops])
+        batch_wall = time.time() - t0
+        batch_x = B * stats["movie_seconds"] / batch_wall
+        log("batched B=%d (ingest+encode+emit): %.2fs wall -> %.1fx realtime"
+            % (B, batch_wall, batch_x))
+        res_b = PlayerVM().decode(streams[-1])
+        assert res_b.ok, res_b.error
 
     # steady-state: device computes batch r+1 while a worker thread pulls
     # batch r's compacted ops over 4 concurrent streams and emits bytes.
     # Dispatch here is SYNCHRONOUS over the tunnel, so overlap requires
     # the transfer to own a thread (its blocking I/O releases the GIL).
+    # (the warm-only child runs one rep to exercise every program/thread
+    # path; only the parent's reps are reported)
     R = 4
     pipe_x = 0.0
-    for rep in range(3):
+    for rep in range(3 if measure else 1):
         t0 = time.time()
         pending, lv = run_pipeline(5000 + 1000 * rep)
         parts = compact_parts(pending)
@@ -272,7 +305,7 @@ def main():
         pipe_x = max(pipe_x, rep_x)
     res_p = PlayerVM().decode(streams[-1])
     assert res_p.ok, res_p.error
-    batch_x = max(batch_x, pipe_x)
+    batch_x = max(batch_x, pipe_x) if measure else 0.0
 
     # --- host-fed batched throughput ---------------------------------------
     # The full real-source pipeline for a batch: per-movie host frames
@@ -319,7 +352,7 @@ def main():
     res_h = PlayerVM().decode(streams[-1])
     assert res_h.ok, res_h.error
     host_fed_x = 0.0
-    for rep in range(2):
+    for rep in range(2 if measure else 0):
         t0 = time.time()
         ops_b, host_s = run_host_fed(100 + rep * B)
         streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan), levels_host)
@@ -338,10 +371,14 @@ def main():
     long_tone = (np.sin(2 * np.pi * 330 * np.arange(nl) / 14700)
                  * 16000).astype(np.float32)
 
-    def build_long(shift):
-        long_rgb = np.concatenate(
+    def synth_long(shift):
+        # pre-synthesized outside timed regions, like the solo clip: the
+        # 387MB np.roll+concat is harness source generation, not pipeline
+        return np.concatenate(
             [np.roll(rgb_measured, 35 * i + shift, axis=2)
              for i in range(soak_reps)])
+
+    def build_long(long_rgb):
         return Movie(
             frames_source=long_rgb,
             audio_source=audio_mod.Audio(data=long_tone, rate=14700,
@@ -353,23 +390,26 @@ def main():
             stream_chunk_frames=256)
         # (1200 encoded frames -> 5 streamed segments, bounded HBM)
 
-    build_long(0).transcode("/tmp/bench_long.a2m")  # warm-up/compile
-    t0 = time.time()
-    m_long = build_long(17)
-    lstats = m_long.transcode("/tmp/bench_long.a2m")
-    long_wall = time.time() - t0
-    long_x = lstats["movie_seconds"] / long_wall
-    log("long movie %ds (%d encoded frames, %d ops): %.2fs wall -> "
-        "%.1fx realtime" % (long_seconds, len(m_long.frames.targets_main),
-                            lstats["n_ops"], long_wall, long_x))
-    data_long = open("/tmp/bench_long.a2m", "rb").read()
-    res_l = PlayerVM().decode(data_long)
-    assert res_l.ok, (res_l.error, res_l.error_pos)
-    from iivision_tpu.sim import machine65
-    mres = machine65.play_stream(data_long)
-    assert mres.exit_reason == "TERMINATED", mres.exit_reason
-    log("long movie 6502-machine validated: %d cycles, %d RECVs"
-        % (mres.cycles, mres.n_recv))
+    build_long(synth_long(0)).transcode("/tmp/bench_long.a2m")  # warm-up
+    if measure:
+        long_src = synth_long(17)
+        t0 = time.time()
+        m_long = build_long(long_src)
+        lstats = m_long.transcode("/tmp/bench_long.a2m")
+        long_wall = time.time() - t0
+        long_x = lstats["movie_seconds"] / long_wall
+        log("long movie %ds (%d encoded frames, %d ops): %.2fs wall -> "
+            "%.1fx realtime" % (long_seconds,
+                                len(m_long.frames.targets_main),
+                                lstats["n_ops"], long_wall, long_x))
+        data_long = open("/tmp/bench_long.a2m", "rb").read()
+        res_l = PlayerVM().decode(data_long)
+        assert res_l.ok, (res_l.error, res_l.error_pos)
+        from iivision_tpu.sim import machine65
+        mres = machine65.play_stream(data_long)
+        assert mres.exit_reason == "TERMINATED", mres.exit_reason
+        log("long movie 6502-machine validated: %d cycles, %d RECVs"
+            % (mres.cycles, mres.n_recv))
 
     # --- LUT artifact generation (reference-compatible npz) -----------------
     t0 = time.time()
@@ -385,6 +425,9 @@ def main():
     del tables
     log("tablegen_cold_s=%.1f" % tablegen_cold)
 
+    if not measure:
+        log("warm-only child done (all programs compiled/service-cached)")
+        return
     headline = max(realtime_x, batch_x)
     print(json.dumps({
         "metric": "dhgr_transcode_realtime_x",

@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# numpy's MADV_HUGEPAGE triggers synchronous THP compaction per fault on
+# this host (40x fresh-buffer slowdown; see iivision_tpu/__init__.py)
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 import jax  # noqa: E402
 
