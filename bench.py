@@ -171,6 +171,20 @@ def main():
     m.transcode("/tmp/bench_warm.a2m")
     log("warm-up timings:", {k: round(v, 2) if isinstance(v, float) else v
                             for k, v in m.timings.items()})
+    if (measure and m.timings.get("encode_s", 0.0) > 60
+            and "--retried" not in sys.argv):
+        # the remote service evicted the encode program between the
+        # warm-only child and this process (observed within ~10 min), so
+        # this process just compiled in-process and is now permanently
+        # dispatch-degraded.  The service cache is hot again - a fresh
+        # process reaches this point in seconds - so re-exec ONCE for a
+        # healthy measuring process.
+        log("warm-up compiled in-process (%.0fs): re-exec for a healthy"
+            " measuring process" % m.timings["encode_s"])
+        os.environ["IIVISION_BENCH_NO_CHILD"] = "1"
+        sys.stderr.flush()
+        os.execv(sys.executable,
+                 [sys.executable, __file__, "--retried"] + sys.argv[1:])
 
     realtime_x = 0.0
     stats = dict(m.timings)

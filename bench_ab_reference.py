@@ -24,6 +24,8 @@ import sys
 import time
 import types
 
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see bench.py
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))

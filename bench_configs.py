@@ -12,8 +12,11 @@ Configs (from /root/repo/BASELINE.json):
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see bench.py
 
 import numpy as np
 
