@@ -114,7 +114,6 @@ def main():
     # (the remote service caches compiles globally); the measuring parent
     # then only pays fast cache loads and stays healthy.
     measure = "--warm-only" not in sys.argv
-    import os
     import subprocess
     if measure and not os.environ.get("IIVISION_BENCH_NO_CHILD"):
         log("pre-warming the compile service in a child process...")

@@ -211,7 +211,7 @@ class Movie:
             off = 0
             for pm, pa in gen:
                 host_parts.append((pm, pa))
-                lo, hi = max(off, 0), off + len(pm)
+                lo, hi = off, off + len(pm)
                 off = hi
                 lo_c, hi_c = min(lo, F_use), min(hi, F_use)
                 if hi_c > lo_c:  # only encoded frames cross the link

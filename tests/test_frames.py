@@ -147,6 +147,28 @@ class _GenSource(np.ndarray):
 # --- npz target cache ---------------------------------------------------------
 
 
+def test_ingest_mp4_via_cv2(tmp_path):
+    """Real-video ingestion (the reference's primary input path,
+    frame_grabber.py:33-40 via ffmpeg) decodes through cv2.VideoCapture:
+    frame rate probed from the container, frames resized + quantized."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24,
+                        (160, 120))
+    assert w.isOpened()
+    for i in range(10):
+        f = np.zeros((120, 160, 3), np.uint8)
+        f[:, :, 2] = (np.arange(160)[None, :] + 16 * i) % 256
+        w.write(f)
+    w.release()
+    mf = frames.ingest(path, VideoMode.DHGR, Palette.NTSC,
+                       every_n_video_frames=2, cache=False)
+    assert mf.n_frames_total == 10
+    assert abs(mf.input_frame_rate - 24.0) < 0.01
+    assert mf.targets_main.shape == (5, 32, 256)
+    assert mf.targets_aux.shape == (5, 32, 256)
+
+
 def test_ingest_cache_stamp_invalidation(tmp_path):
     clip = _rand_clip(F=2, h=192, w=140)
     path = str(tmp_path / "clip.npy")
