@@ -334,27 +334,32 @@ def main():
     sel = rgb_measured[::2]  # every_n = 2, (F_enc, 192, 280, 3)
     from iivision_tpu.ops import resize as resize_mod
 
-    def host_fed_targets(seed):
-        out = np.empty((B, F_enc, 2, 32, 256), np.uint8)
-        for i in range(B):
-            # decode stand-in: a distinct view of the source per movie
-            src = np.roll(sel, (seed + i * 7) % 280, axis=2)
-            rs = resize_mod.resize_batch(src, 192, 140)  # host PIL
-            codes = dither_mod.quantize_ordered_host(rs, Palette.NTSC)
-            m_, a_ = dither_mod.dhgr_pack_host(codes)
-            out[i, :, 0], out[i, :, 1] = m_, a_
-        return out
-
     @jax.jit
     def derive_targets(t):  # (B, F, 2, 32, 256) uint8 -> lanes + bytes
         lanes = screen_mod.dhgr_masked_lanes(t[:, :, 0], t[:, :, 1])
         return lanes, t.astype(jnp.int32)
 
     def run_host_fed(seed):
+        # Per-movie host quantize (C++ resize + fused-LUT quantize+pack)
+        # with each movie's 2.4MB target banks submitted to the 4-thread
+        # io_pool the moment they exist: host compute of movie i+1
+        # overlaps the h2d of movie i, and 4 concurrent puts multi-stream
+        # the tunnel (~45 MB/s vs ~20 single - the same trick the d2h
+        # fetch path uses).
         t_h0 = time.time()
-        targets = host_fed_targets(seed)
+        pool = pmesh.io_pool()
+        futs = []
+        for i in range(B):
+            # decode stand-in: a distinct view of the source per movie
+            src = np.roll(sel, (seed + i * 7) % 280, axis=2)
+            rs = resize_mod.resize_batch(src, 192, 140)  # host C++/PIL
+            codes = dither_mod.quantize_ordered_host(rs, Palette.NTSC)
+            m_, a_ = dither_mod.dhgr_pack_host(codes)
+            t = np.stack([m_, a_], axis=1)[None]  # (1, F, 2, 32, 256)
+            futs.append(pool.submit(jax.device_put, t))
         host_s = time.time() - t_h0
-        lanes_b, bytes_b = derive_targets(jnp.asarray(targets))
+        targets = jnp.concatenate([f.result() for f in futs], axis=0)
+        lanes_b, bytes_b = derive_targets(targets)
         ops_b, _, _ = pmesh.encode_movies_batch(
             dist, lanes_b, bytes_b, plan, VideoMode.DHGR,
             seeds=np.arange(seed, seed + B))

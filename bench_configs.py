@@ -97,7 +97,8 @@ def k_sweep(dists):
 
     rgb = synth_clip(seconds=5.0)
     aud = audio_mod.Audio(data=tone(5.0, 14700), rate=14700, bitrate=14700)
-    for k, j in ((1, 1), (8, 1), (32, 1), (16, 4), (16, 8)):
+    for k, j in ((1, 1), (8, 1), (32, 1), (16, 4), (16, 8), (32, 4),
+                 (32, 8)):
         m = Movie(frames_source=rgb, audio_source=aud,
                   every_n_video_frames=2, video_mode=VideoMode.DHGR,
                   palette=Palette.NTSC, k=k, j=j,

@@ -110,7 +110,28 @@ def plan_movie(
     Derives, for every emitted opcode, which encoded frame is the target and
     which memory bank it stores to, then chunks runs of (frame, bank) into
     scan steps of K opcodes with a recompute flag on each chunk's first step.
+
+    Pure in its scalar arguments, so results are memoized (the chunk-major
+    layout loop costs ~15ms for a 10s movie - real money on the solo
+    latency path); the returned arrays are marked read-only.
     """
+    return _plan_movie_cached(n_frames, n_audio_ticks,
+                              float(input_frame_rate),
+                              float(ticks_per_second),
+                              every_n_video_frames, mode, k, j)
+
+
+@functools.lru_cache(maxsize=256)
+def _plan_movie_cached(
+        n_frames: int,
+        n_audio_ticks: int,
+        input_frame_rate: float,
+        ticks_per_second: float,
+        every_n_video_frames: int,
+        mode: VideoMode,
+        k: int,
+        j: int,
+) -> Tuple[MoviePlan, int]:
     tpf = ticks_per_second / input_frame_rate
     # The movie ends when the (n_frames+1)-th frame pull raises StopIteration.
     # Reference semantics (video.py:67 with frame_number starting at 0): pull
@@ -162,7 +183,7 @@ def plan_movie(
             sn.append(int(np.clip(length - st * ops_per_step,
                                   0, ops_per_step)))
 
-    return MoviePlan(
+    plan = MoviePlan(
         n_ops=n_ops,
         k=k,
         j=j,
@@ -172,7 +193,11 @@ def plan_movie(
         step_recompute=np.asarray(sr, dtype=bool),
         step_nvalid=np.asarray(sn, dtype=np.int32),
         op_tick_index=op_idx.astype(np.int32),
-    ), n_encoded
+    )
+    for a in (plan.step_frame, plan.step_bank, plan.step_recompute,
+              plan.step_nvalid, plan.op_tick_index):
+        a.setflags(write=False)  # memoized: shared across callers
+    return plan, n_encoded
 
 
 # --- target preparation ---------------------------------------------------------
