@@ -53,6 +53,22 @@ def test_plan_movie_basic():
     assert plan.step_recompute[bankflips].all()
 
 
+def test_plan_movie_memoized():
+    args = dict(n_frames=4, n_audio_ticks=10 ** 6, input_frame_rate=30.0,
+                ticks_per_second=14700.0, every_n_video_frames=2,
+                mode=VideoMode.DHGR, k=8)
+    p1, n1 = encoder.plan_movie(**args)
+    p2, n2 = encoder.plan_movie(**args)
+    assert p1 is p2 and n1 == n2  # cache hit on identical scalar args
+    # the shared arrays must be immutable so one caller can't corrupt
+    # another's plan
+    with pytest.raises(ValueError):
+        p1.step_nvalid[0] = 99
+    # distinct args miss the cache
+    p3, _ = encoder.plan_movie(**{**args, "k": 16})
+    assert p3 is not p1 and p3.k == 16
+
+
 def test_plan_movie_hgr_no_bank_flips():
     plan, n_enc = encoder.plan_movie(
         n_frames=3, n_audio_ticks=1200, input_frame_rate=30.0,
