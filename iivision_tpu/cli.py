@@ -1,6 +1,13 @@
-"""Transcode CLI (parity: reference transcoder/main.py flags)."""
+"""Transcode CLI (parity: reference transcoder/main.py flags).
+
+Extends the reference CLI with a batch mode: pass several inputs and they
+encode together in ONE vmapped device scan (parallel/mesh.encode_movies_mixed
+pads to a shared dominating plan; each output is bit-identical to its padded
+solo encode), sharing the chip the way the batched benchmarks do.
+"""
 
 import argparse
+import os
 
 from iivision_tpu.movie import Movie
 from iivision_tpu.palettes import Palette
@@ -10,16 +17,18 @@ from iivision_tpu.video_mode import VideoMode
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Transcode videos to ][-Vision format (TPU-native).")
-    parser.add_argument("input",
-                        help="Path to input video file, or a reference "
-                             "bmp2dhr frame-cache directory "
+    parser.add_argument("input", nargs="+",
+                        help="Input video file(s), or reference bmp2dhr "
+                             "frame-cache directories "
                              "(<video>/<MODE>/<PALETTE> with "
-                             "%%08d.BIN/.AUX dumps).")
+                             "%%08d.BIN/.AUX dumps). Multiple inputs "
+                             "batch-encode in one device scan.")
     parser.add_argument("--frame_rate", type=float, default=None,
                         help="Override the probed input frame rate "
                              "(required context for frame-cache dirs).")
     parser.add_argument("--output", default=None,
-                        help="Path to output video file.")
+                        help="Path to output video file (single input) or "
+                             "output directory (multiple inputs).")
     parser.add_argument("--max_output_mb", type=float, default=0,
                         help="Maximum MB to output (0 = unlimited).")
     parser.add_argument("--audio_normalization", type=float, default=None,
@@ -62,10 +71,87 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+def _default_out(path: str) -> str:
+    base = path.rstrip("/")
+    stem = base.rsplit(".", 1)[0] if "." in os.path.basename(base) else base
+    return stem + ".a2m"
+
+
+def transcode_batch(args):
+    """Batch mode: N inputs -> N .a2m files via one vmapped device scan.
+
+    Inputs are ingested individually (each pipelines its own decode +
+    quantize), grouped by probed input frame rate (movies in a mixed
+    batch must share the opcode schedule's timing), and each group
+    encodes as one mesh.encode_movies_mixed call; per-movie audio is
+    multiplexed at emission.
+    """
+    import numpy as np
+
+    from iivision_tpu import audio as audio_mod, frames
+    from iivision_tpu.movie import get_distance
+    from iivision_tpu.parallel import mesh as pmesh
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+
+    mode = VideoMode[args.video_mode]
+    palette = Palette[args.palette]
+    dist = get_distance(mode, palette, args.colour_model)
+    max_bytes = int(1024 * 1024 * args.max_output_mb) or None
+
+    if args.output:
+        os.makedirs(args.output, exist_ok=True)
+    ingested = []
+    for path in args.input:
+        fr = frames.ingest(path, mode, palette,
+                           every_n_video_frames=args.every_n_video_frames,
+                           dither_mode=args.dither,
+                           frame_rate=args.frame_rate)
+        try:
+            aud = audio_mod.Audio(path, bitrate=args.audio_bitrate,
+                                  normalization=args.audio_normalization)
+        except Exception:
+            seconds = fr.n_frames_total / fr.input_frame_rate
+            aud = audio_mod.Audio(
+                data=np.zeros(int(seconds * args.audio_bitrate) + 1,
+                              np.float32),
+                rate=args.audio_bitrate, bitrate=args.audio_bitrate,
+                normalization=1.0)
+        out = (os.path.join(args.output, os.path.basename(_default_out(path)))
+               if args.output else _default_out(path))
+        ingested.append((path, fr, aud, out))
+
+    groups = {}
+    for i, (_, fr, _, _) in enumerate(ingested):
+        groups.setdefault(round(fr.input_frame_rate, 6), []).append(i)
+    for rate, idxs in sorted(groups.items()):
+        movies = [(ingested[i][1].targets_main, ingested[i][1].targets_aux,
+                   ingested[i][1].n_frames_total,
+                   len(ingested[i][2].levels())) for i in idxs]
+        flats, _, n_ops = pmesh.encode_movies_mixed(
+            dist, movies, mode, rate, float(args.audio_bitrate),
+            every_n_video_frames=args.every_n_video_frames,
+            k=args.k, j=args.j,
+            seeds=[args.seed + i for i in idxs])
+        for flat, i in zip(flats, idxs):
+            path, fr, aud, out = ingested[i]
+            levels = np.asarray(aud.levels())[:len(flat)]
+            data = emit_stream_fast(flat, levels, mode,
+                                    max_bytes_out=max_bytes)
+            with open(out, "wb") as f:
+                f.write(data)
+            print("Wrote %s (%d ops, %.1fs @ %.3f fps input)"
+                  % (out, len(flat), len(flat) / args.audio_bitrate, rate))
+    outs = [m[3] for m in ingested]
+    return outs
+
+
 def main(args=None):
     args = build_parser().parse_args(args)
-    out = args.output or (".".join(
-        args.input.split(".")[:-1] + ["a2m"]))
+    if len(args.input) > 1:
+        transcode_batch(args)
+        return
+    args.input = args.input[0]
+    out = args.output or _default_out(args.input)
     m = Movie(
         args.input,
         every_n_video_frames=args.every_n_video_frames,

@@ -172,7 +172,7 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
 def encode_movies_mixed(dist, movies, mode: VideoMode,
                         input_frame_rate: float, ticks_per_second: float,
                         every_n_video_frames: int = 1, k: int = 8,
-                        seeds=None, mesh=None):
+                        j: int = 1, seeds=None, mesh=None):
     """Encode a batch of DIFFERENT-length movies in one vmapped scan.
 
     movies: list of (targets_main (F_i,32,256) u8, targets_aux or None,
@@ -193,7 +193,7 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
     plans = [encoder.plan_movie(
         n_frames=nf, n_audio_ticks=nt, input_frame_rate=input_frame_rate,
         ticks_per_second=ticks_per_second,
-        every_n_video_frames=every_n_video_frames, mode=mode, k=k)
+        every_n_video_frames=every_n_video_frames, mode=mode, k=k, j=j)
         for _, _, nf, nt in movies]
     n_ops = [p.n_ops for p, _ in plans]
     # the shared plan must dominate every movie in BOTH ops and frames: the
@@ -204,7 +204,7 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
         n_audio_ticks=max(nt for _, _, _, nt in movies),
         input_frame_rate=input_frame_rate,
         ticks_per_second=ticks_per_second,
-        every_n_video_frames=every_n_video_frames, mode=mode, k=k)
+        every_n_video_frames=every_n_video_frames, mode=mode, k=k, j=j)
     assert plan_max.n_ops >= max(n_ops)
     assert all(n_enc_max >= ne for _, ne in plans)
 

@@ -1,0 +1,72 @@
+"""CLI tests: single-input transcode and the multi-input batch mode.
+
+The batch mode (cli.transcode_batch) routes through
+parallel/mesh.encode_movies_mixed, whose padding semantics test_mesh.py
+pins bit-exactly; here we verify the CLI wiring end-to-end: N inputs ->
+N valid .a2m files, with the dominating movie byte-identical to its solo
+CLI encode (its padded plan IS its own plan).
+"""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import cli
+from iivision_tpu.sim import PlayerVM
+
+
+def gradient_movie(F, h=64, w=80):
+    t = np.linspace(0, 1, F, dtype=np.float32)[:, None, None]
+    yy = np.linspace(0, 1, h, dtype=np.float32)[None, :, None]
+    xx = np.linspace(0, 1, w, dtype=np.float32)[None, None, :]
+    r = 255 * np.broadcast_to(np.abs(np.sin(3 * (xx + t))), (F, h, w))
+    g = 255 * np.broadcast_to(yy * (1 - t), (F, h, w))
+    b = 255 * np.broadcast_to(xx * t, (F, h, w))
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def save_clip(path, F):
+    np.savez(str(path), frames=gradient_movie(F), frame_rate=30.0)
+    return str(path)
+
+
+def test_cli_single(tmp_path):
+    clip = save_clip(tmp_path / "solo.npz", 4)
+    out = str(tmp_path / "solo.a2m")
+    cli.main([clip, "--output", out, "--k", "8", "--j", "2",
+              "--every_n_video_frames", "2"])
+    res = PlayerVM().decode(open(out, "rb").read())
+    assert res.ok, (res.error, res.error_pos)
+    assert np.all(res.duty == 34)  # npz has no audio: silence fallback
+
+
+def test_cli_default_output_name(tmp_path):
+    clip = save_clip(tmp_path / "name.npz", 2)
+    cli.main([clip, "--k", "4", "--every_n_video_frames", "1"])
+    out = str(tmp_path / "name.a2m")
+    res = PlayerVM().decode(open(out, "rb").read())
+    assert res.ok, res.error
+
+
+def test_cli_batch_mixed_lengths(tmp_path):
+    # movie 0 dominates (most frames -> the shared plan is its own plan)
+    c0 = save_clip(tmp_path / "long.npz", 6)
+    c1 = save_clip(tmp_path / "short.npz", 4)
+    outdir = tmp_path / "batch"
+    args = ["--output", str(outdir), "--k", "8", "--j", "2",
+            "--every_n_video_frames", "2", "--seed", "5"]
+    cli.main([c0, c1] + args)
+
+    streams = {}
+    for name in ("long", "short"):
+        data = open(str(outdir / (name + ".a2m")), "rb").read()
+        res = PlayerVM().decode(data)
+        assert res.ok, (name, res.error, res.error_pos)
+        streams[name] = data
+    # the short movie really is shorter (fewer ops -> fewer 2KB segments)
+    assert len(streams["short"]) < len(streams["long"])
+
+    # dominating movie: batch output == solo CLI output, byte for byte
+    solo_out = str(tmp_path / "long_solo.a2m")
+    cli.main([c0, "--output", solo_out, "--k", "8", "--j", "2",
+              "--every_n_video_frames", "2", "--seed", "5"])
+    assert streams["long"] == open(solo_out, "rb").read()
