@@ -24,8 +24,8 @@ def gradient_movie(F, h=64, w=80):
     return np.stack([r, g, b], axis=-1).astype(np.uint8)
 
 
-def save_clip(path, F):
-    np.savez(str(path), frames=gradient_movie(F), frame_rate=30.0)
+def save_clip(path, F, rate=30.0):
+    np.savez(str(path), frames=gradient_movie(F), frame_rate=rate)
     return str(path)
 
 
@@ -70,3 +70,21 @@ def test_cli_batch_mixed_lengths(tmp_path):
     cli.main([c0, "--output", solo_out, "--k", "8", "--j", "2",
               "--every_n_video_frames", "2", "--seed", "5"])
     assert streams["long"] == open(solo_out, "rb").read()
+
+
+def test_cli_batch_groups_by_frame_rate(tmp_path):
+    # different input frame rates can't share an opcode schedule: the CLI
+    # must split them into separate mixed batches, all outputs valid
+    c0 = save_clip(tmp_path / "fps30.npz", 4, rate=30.0)
+    c1 = save_clip(tmp_path / "fps15.npz", 4, rate=15.0)
+    outdir = tmp_path / "batch"
+    cli.main([c0, c1, "--output", str(outdir), "--k", "4",
+              "--every_n_video_frames", "1"])
+    n_ops = {}
+    for name in ("fps30", "fps15"):
+        data = open(str(outdir / (name + ".a2m")), "rb").read()
+        res = PlayerVM().decode(data)
+        assert res.ok, (name, res.error)
+        n_ops[name] = res.n_ops
+    # same frame count at half the rate = twice the movie duration
+    assert n_ops["fps15"] > 1.8 * n_ops["fps30"]
