@@ -23,6 +23,11 @@ import numpy as np
 from bench import synth_clip
 
 BASELINE_REALTIME_X = 0.2
+# any >1min in-process compile permanently degrades this process's
+# per-dispatch latency (see CLAUDE.md), tainting every row measured after
+# it - so like bench.py, all compiles happen in a --warm-only child first
+# and the measuring parent only pays fast service-cache loads
+MEASURE = "--warm-only" not in sys.argv
 
 
 def log(*a):
@@ -59,6 +64,14 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
 
     m = build()
     m.transcode("/tmp/bench_cfg_warm.a2m")  # compile
+    if not MEASURE:
+        # also compile the replay-metric programs the measuring parent
+        # will run (encode_ops reuses the already-computed plan/ops)
+        flat, _ = m.encode_ops()
+        lanes_tgt, _ = encoder.prepare_targets(
+            m.frames.targets_main, m.frames.targets_aux, mode)
+        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, m.dist)
+        return None
     t0 = time.time()
     m = build()
     stats = m.transcode("/tmp/bench_cfg.a2m")
@@ -104,6 +117,13 @@ def k_sweep(dists):
                   palette=Palette.NTSC, k=k, j=j,
                   dist=dists[(VideoMode.DHGR, Palette.NTSC)])
         flat, _ = m.encode_ops()
+        if not MEASURE:
+            lanes_tgt, _ = encoder.prepare_targets(
+                m.frames.targets_main, m.frames.targets_aux,
+                VideoMode.DHGR)
+            quality.replay_frame_errors(flat, m.plan, lanes_tgt,
+                                        VideoMode.DHGR, m.dist)
+            continue
         t0 = time.time()
         m2 = Movie(frames_source=rgb, audio_source=aud,
                    every_n_video_frames=2, video_mode=VideoMode.DHGR,
@@ -124,6 +144,17 @@ def k_sweep(dists):
 
 
 def main():
+    if MEASURE and not os.environ.get("IIVISION_BENCH_NO_CHILD"):
+        import subprocess
+        log("pre-warming the compile service in a child process...")
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, __file__, "--warm-only"],
+            env={**os.environ, "IIVISION_BENCH_NO_CHILD": "1"},
+            stdout=subprocess.DEVNULL, timeout=5400)
+        log("pre-warm child: %.0fs (rc=%d)" % (time.time() - t0,
+                                               r.returncode))
+
     import jax
     from iivision_tpu.movie import get_distance
     from iivision_tpu.ops import editdist
@@ -193,20 +224,22 @@ def main():
     r = pmesh.encode_movies_batch(d, lanes_b, bytes_b, m.plan,
                                   VideoMode.DHGR, np.arange(B))
     jax.tree.map(lambda x: x.block_until_ready(), r)  # compile
-    t0 = time.time()
-    ops_b, _, _ = pmesh.encode_movies_batch(d, lanes_b, bytes_b, m.plan,
-                                            VideoMode.DHGR,
-                                            np.arange(1, B + 1))
-    ops_np = pmesh.fetch_ops(ops_b, m.plan)
-    streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
-                                levels, VideoMode.DHGR) for i in range(B)]
-    wall = time.time() - t0
-    print(json.dumps({
-        "config": "batch10_plus_tablegen",
-        "batch_realtime_x": round(B * 10.0 / wall, 2),
-        "tablegen_s": round(t_tables, 1),
-        "tablegen_vs_baseline_min": round(90 * 60 / t_tables, 1),
-    }), flush=True)
+    if MEASURE:
+        t0 = time.time()
+        ops_b, _, _ = pmesh.encode_movies_batch(d, lanes_b, bytes_b,
+                                                m.plan, VideoMode.DHGR,
+                                                np.arange(1, B + 1))
+        ops_np = pmesh.fetch_ops(ops_b, m.plan)
+        streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], m.plan),
+                                    levels, VideoMode.DHGR)
+                   for i in range(B)]
+        wall = time.time() - t0
+        print(json.dumps({
+            "config": "batch10_plus_tablegen",
+            "batch_realtime_x": round(B * 10.0 / wall, 2),
+            "tablegen_s": round(t_tables, 1),
+            "tablegen_vs_baseline_min": round(90 * 60 / t_tables, 1),
+        }), flush=True)
 
     # HGR batched transcode at scale (same B=10 shape as the DHGR row)
     mh = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
@@ -222,23 +255,27 @@ def main():
                                   VideoMode.HGR, np.arange(B))
     jax.tree.map(lambda x: x.block_until_ready(), r)  # compile
     levels_h = np.asarray(mh.audio.levels())[:mh.plan.n_ops]
-    t0 = time.time()
-    ops_b, _, _ = pmesh.encode_movies_batch(dh, lanes_hb, bytes_hb, mh.plan,
-                                            VideoMode.HGR,
-                                            np.arange(1, B + 1))
-    ops_np = pmesh.fetch_ops(ops_b, mh.plan)
-    streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], mh.plan),
-                                levels_h, VideoMode.HGR) for i in range(B)]
-    wall = time.time() - t0
-    from iivision_tpu.sim import PlayerVM
-    res_h = PlayerVM().decode(streams[-1])
-    assert res_h.ok, res_h.error
-    print(json.dumps({
-        "config": "hgr_batch10",
-        "batch_realtime_x": round(B * 10.0 / wall, 2),
-    }), flush=True)
+    if MEASURE:
+        t0 = time.time()
+        ops_b, _, _ = pmesh.encode_movies_batch(dh, lanes_hb, bytes_hb,
+                                                mh.plan, VideoMode.HGR,
+                                                np.arange(1, B + 1))
+        ops_np = pmesh.fetch_ops(ops_b, mh.plan)
+        streams = [emit_stream_fast(encoder.flatten_ops(ops_np[i], mh.plan),
+                                    levels_h, VideoMode.HGR)
+                   for i in range(B)]
+        wall = time.time() - t0
+        from iivision_tpu.sim import PlayerVM
+        res_h = PlayerVM().decode(streams[-1])
+        assert res_h.ok, res_h.error
+        print(json.dumps({
+            "config": "hgr_batch10",
+            "batch_realtime_x": round(B * 10.0 / wall, 2),
+        }), flush=True)
 
     k_sweep(dists)
+    if not MEASURE:
+        log("warm-only child done (all programs compiled/service-cached)")
 
 
 if __name__ == "__main__":
