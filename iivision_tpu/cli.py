@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Encode in segments of this many frames "
                              "(bounded device memory for long movies; "
                              "default: auto past 1024 frames).")
+    parser.add_argument("--stats_json", default=None,
+                        help="Write per-movie transcode stats (stage "
+                             "timings, op/byte counts) to this JSON file.")
     return parser
 
 
@@ -123,6 +126,7 @@ def transcode_batch(args):
     groups = {}
     for i, (_, fr, _, _) in enumerate(ingested):
         groups.setdefault(round(fr.input_frame_rate, 6), []).append(i)
+    stats_rows = []
     for rate, idxs in sorted(groups.items()):
         movies = [(ingested[i][1].targets_main, ingested[i][1].targets_aux,
                    ingested[i][1].n_frames_total,
@@ -141,8 +145,24 @@ def transcode_batch(args):
                 f.write(data)
             print("Wrote %s (%d ops, %.1fs @ %.3f fps input)"
                   % (out, len(flat), len(flat) / args.audio_bitrate, rate))
-    outs = [m[3] for m in ingested]
-    return outs
+            stats_rows.append({
+                "input": path, "output": out, "n_ops": len(flat),
+                "stream_bytes": len(data),
+                "movie_seconds": len(flat) / args.audio_bitrate,
+                "input_frame_rate": rate,
+            })
+    _write_stats(args.stats_json, stats_rows)
+    return [m[3] for m in ingested]
+
+
+def _write_stats(path, rows):
+    if not path:
+        return
+    import json
+
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+    print("Stats written to %s" % path)
 
 
 def main(args=None):
@@ -174,6 +194,8 @@ def main(args=None):
     print("Wrote %s" % out)
     for k in ("n_ops", "movie_seconds", "total_s", "realtime_x"):
         print("%s = %s" % (k, stats[k]))
+    _write_stats(args.stats_json,
+                 [{"input": args.input, "output": out, **stats}])
 
 
 if __name__ == "__main__":

@@ -30,13 +30,19 @@ def save_clip(path, F, rate=30.0):
 
 
 def test_cli_single(tmp_path):
+    import json
+
     clip = save_clip(tmp_path / "solo.npz", 4)
     out = str(tmp_path / "solo.a2m")
+    stats_path = str(tmp_path / "stats.json")
     cli.main([clip, "--output", out, "--k", "8", "--j", "2",
-              "--every_n_video_frames", "2"])
+              "--every_n_video_frames", "2", "--stats_json", stats_path])
     res = PlayerVM().decode(open(out, "rb").read())
     assert res.ok, (res.error, res.error_pos)
     assert np.all(res.duty == 34)  # npz has no audio: silence fallback
+    (row,) = json.load(open(stats_path))
+    assert row["n_ops"] == res.n_ops
+    assert {"encode_s", "frames_s", "realtime_x"} <= set(row)
 
 
 def test_cli_default_output_name(tmp_path):
@@ -52,9 +58,14 @@ def test_cli_batch_mixed_lengths(tmp_path):
     c0 = save_clip(tmp_path / "long.npz", 6)
     c1 = save_clip(tmp_path / "short.npz", 4)
     outdir = tmp_path / "batch"
+    stats_path = str(tmp_path / "batch_stats.json")
     args = ["--output", str(outdir), "--k", "8", "--j", "2",
-            "--every_n_video_frames", "2", "--seed", "5"]
+            "--every_n_video_frames", "2", "--seed", "5",
+            "--stats_json", stats_path]
     cli.main([c0, c1] + args)
+    import json
+    rows = json.load(open(stats_path))
+    assert len(rows) == 2 and all(r["n_ops"] > 0 for r in rows)
 
     streams = {}
     for name in ("long", "short"):
