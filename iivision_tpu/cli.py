@@ -121,6 +121,11 @@ def transcode_batch(args):
                 normalization=1.0)
         out = (os.path.join(args.output, os.path.basename(_default_out(path)))
                if args.output else _default_out(path))
+        if any(out == m[3] for m in ingested):
+            raise ValueError(
+                "output collision: %r would be written by two inputs "
+                "(distinct inputs share a basename) - rename an input or "
+                "use separate --output dirs" % (out,))
         ingested.append((path, fr, aud, out))
 
     groups = {}

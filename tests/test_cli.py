@@ -83,6 +83,15 @@ def test_cli_batch_mixed_lengths(tmp_path):
     assert streams["long"] == open(solo_out, "rb").read()
 
 
+def test_cli_batch_output_collision(tmp_path):
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    c0 = save_clip(d1 / "same.npz", 2)
+    c1 = save_clip(d2 / "same.npz", 2)
+    with pytest.raises(ValueError, match="collision"):
+        cli.main([c0, c1, "--output", str(tmp_path / "out"), "--k", "4"])
+
+
 def test_cli_batch_groups_by_frame_rate(tmp_path):
     # different input frame rates can't share an opcode schedule: the CLI
     # must split them into separate mixed batches, all outputs valid
