@@ -96,3 +96,44 @@ def test_shipped_store_cost_artifacts_match_live_build():
         shipped = np.load(path)["cost"].astype(np.float32)
         built = np.asarray(distance._build_store_cost(mode, Palette.NTSC))
         assert np.array_equal(shipped, built), mode
+
+
+def test_shipped_yiq_store_cost_artifacts():
+    """The yiq artifacts are f32 (backend LSBs differ, so no bit-equality
+    vs a live build); validate shape + invariants + spot values against
+    the on-the-fly distance at float tolerance."""
+    import os
+
+    import jax.numpy as jnp
+
+    from iivision_tpu import screen
+
+    for mode, n_lanes, bits in ((VideoMode.DHGR, 4, 13),
+                                (VideoMode.HGR, 2, 14)):
+        path = distance.store_cost_path(mode, Palette.NTSC, "yiq")
+        assert os.path.exists(path), path
+        sc = np.load(path)["cost"]
+        C = distance.n_contents(mode)
+        assert sc.shape == (n_lanes, 1 << bits, C)
+        assert sc.dtype == np.float32
+        assert sc.min() >= 0.0
+        # storing a content the window already holds costs exactly 0:
+        # every row must contain a zero
+        assert (sc.min(axis=2) == 0.0).all(), mode
+
+        spec = screen.spec_for_mode(mode)
+        sub = jnp.asarray(distance.sub_for(mode, Palette.NTSC, "yiq"))
+        rng = np.random.RandomState(3)
+        for _ in range(8):
+            lane = rng.randint(n_lanes)
+            t = int(rng.randint(1 << bits))
+            c = int(rng.randint(C))
+            if mode == VideoMode.DHGR:
+                new = int(spec.masked_update(np.int64(t), c))
+            else:
+                new = int(spec.masked_update(np.int64(t), c, lane))
+            want = float(distance.dist_lane_pairs(
+                jnp.asarray([new]), jnp.asarray([t]), mode, lane, sub)[0])
+            got = float(sc[lane, t, c])
+            assert abs(got - want) <= 1e-3 * max(1.0, abs(want)), (
+                mode, lane, t, c, got, want)
