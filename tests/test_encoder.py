@@ -98,6 +98,7 @@ def test_plan_audio_limits_length():
     (VideoMode.DHGR, 1, 1),
     (VideoMode.DHGR, 8, 1),
     (VideoMode.DHGR, 4, 2),  # multi-op-per-page mode
+    (VideoMode.DHGR, 32, 8),  # the solo-latency frontier config
     (VideoMode.HGR, 4, 1),
     (VideoMode.HGR, 4, 3),
 ])
