@@ -148,11 +148,12 @@ def main():
     n = int(CLIP_SECONDS * 14700)
     tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700) * 16000)
 
-    def build_movie(phase=0.0, k=32, j=4):
-        # single-movie latency runs k=32,j=4 (fewer scan steps; quality
-        # still far ahead of the reference - bench_configs.py measures the
-        # tradeoff); the batched throughput sections below keep the
-        # fidelity-frontier k=16,j=4 config
+    def build_movie(phase=0.0, k=32, j=8):
+        # single-movie latency runs k=32,j=8: half the scan steps of j=4
+        # at the same sub-op count (n_ops/k is j-invariant), and the A/B
+        # vs the actual reference encoder still wins 1.45x at this config
+        # (AB_REPORT.md 2026-08-18; vs 1.48x at the fidelity-frontier
+        # k=16,j=4 the batched sections below keep)
         return Movie(
             frames_source=rgb_measured if phase else rgb,
             audio_source=audio_mod.Audio(
