@@ -26,6 +26,7 @@ realtime on CPU (reference README.md:131), i.e. baseline = 0.2x realtime.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -40,6 +41,88 @@ BASELINE_REALTIME_X = 0.2  # reference: 5-10x slower than realtime (best case)
 CLIP_SECONDS = 10.0
 FPS = 30
 SRC_H, SRC_W = 192, 280  # reference PIL resize target (frame_grabber.py:75)
+
+# The whole bench must finish comfortably inside the driver's timeout.
+# Round 3's run died rc=124: the axon backend was UNAVAILABLE, the pre-warm
+# child burned 1,502s discovering that, the parent crashed on the same
+# error, and the driver timed out with no JSON emitted.  Everything below
+# is structured so that CANNOT recur: a cheap preflight probes the backend
+# in short-lived children with bounded retries before any heavy work, the
+# pre-warm child is capped, and the JSON line is ALWAYS printed - with an
+# "error" field when the backend is down - well before any plausible
+# driver timeout.
+BENCH_BUDGET_S = float(os.environ.get("IIVISION_BENCH_BUDGET_S", "2700"))
+_T_START = time.time()
+
+
+def budget_left():
+    return BENCH_BUDGET_S - (time.time() - _T_START)
+
+
+# best headline measured so far - emitted even if a later stage dies
+_BEST = {"x": 0.0}
+_EMITTED = False
+
+
+def emit_result(value, extra=None):
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    out = {
+        "metric": "dhgr_transcode_realtime_x",
+        "value": round(float(value), 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(float(value) / BASELINE_REALTIME_X, 1),
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+_PROBE_SRC = (
+    "import os;"
+    "os.environ.setdefault('NUMPY_MADVISE_HUGEPAGE','0');"
+    "import numpy, jax;"
+    "print(numpy.asarray(jax.numpy.arange(4).sum()))"
+)
+
+
+def preflight(log, max_wait_s=480.0):
+    """Probe the backend in short-lived children before any heavy work.
+
+    A probe = a fresh process initializing jax and FETCHING one tiny
+    result (only a fetch proves the remote service actually ran
+    something).  Bounded retries with backoff: a transiently-down tunnel
+    gets a few minutes to come back; a hard-down backend is detected in
+    bounded time instead of 1,502s (round-3 failure mode).
+    Returns (ok, detail_message).
+    """
+    deadline = time.time() + min(max_wait_s, max(60.0, budget_left() - 300))
+    attempt = 0
+    detail = "no attempt"
+    while time.time() < deadline:
+        attempt += 1
+        per_try = min(150.0, max(45.0, deadline - time.time()))
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, timeout=per_try)
+            if r.returncode == 0:
+                log("preflight: backend live (attempt %d, %.0fs)"
+                    % (attempt, time.time() - t0))
+                return True, "ok"
+            detail = (r.stderr or b"")[-400:].decode("utf-8", "replace")
+            log("preflight attempt %d: rc=%d after %.0fs"
+                % (attempt, r.returncode, time.time() - t0))
+        except subprocess.TimeoutExpired:
+            detail = "probe timed out after %.0fs" % per_try
+            log("preflight attempt %d: timeout after %.0fs"
+                % (attempt, per_try))
+        if deadline - time.time() > 20:
+            time.sleep(15)
+    return False, detail
 
 
 def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=SRC_W, h=SRC_H, phase=0.0):
@@ -98,6 +181,20 @@ def synth_movies_device(B, F, seed, h=SRC_H, w=SRC_W):
 
 
 def main():
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    measure = "--warm-only" not in sys.argv
+
+    # Backend preflight BEFORE anything heavy: if the backend is down,
+    # say so in the JSON line within minutes instead of timing the driver
+    # out (round-3 failure mode).  (A --retried re-exec just proved the
+    # backend alive - don't pay the probe again.)
+    if measure and "--retried" not in sys.argv:
+        ok, detail = preflight(log)
+        if not ok:
+            log("preflight FAILED: backend unavailable - emitting error")
+            emit_result(0.0, {"error": "backend unavailable: " + detail})
+            return
+
     from iivision_tpu import audio as audio_mod
     from iivision_tpu.movie import Movie, get_distance
     from iivision_tpu.ops import editdist
@@ -105,25 +202,35 @@ def main():
     from iivision_tpu.sim import PlayerVM
     from iivision_tpu.video_mode import VideoMode
 
-    log = lambda *a: print(*a, file=sys.stderr, flush=True)
-
     # A process that performs any slow (>~1 min) compile suffers degraded
     # per-dispatch latency for the REST OF ITS LIFE (3-8ms/dispatch,
     # measured - see CLAUDE.md), which taints every number measured after
     # it.  So all compiles happen in a --warm-only CHILD process first
     # (the remote service caches compiles globally); the measuring parent
-    # then only pays fast cache loads and stays healthy.
-    measure = "--warm-only" not in sys.argv
-    import subprocess
+    # then only pays fast cache loads and stays healthy.  The child is
+    # CAPPED: if it dies or times out, re-probe the backend - dead means
+    # emit the error JSON now; alive means continue (the parent may be
+    # compile-degraded but still produces a number).
     if measure and not os.environ.get("IIVISION_BENCH_NO_CHILD"):
         log("pre-warming the compile service in a child process...")
         t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, __file__, "--warm-only"],
-            env={**os.environ, "IIVISION_BENCH_NO_CHILD": "1"},
-            stdout=subprocess.DEVNULL, timeout=3600)
-        log("pre-warm child: %.0fs (rc=%d)" % (time.time() - t0,
-                                               r.returncode))
+        child_cap = max(120.0, min(1500.0, budget_left() - 700))
+        rc = -1
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--warm-only"],
+                env={**os.environ, "IIVISION_BENCH_NO_CHILD": "1"},
+                stdout=subprocess.DEVNULL, timeout=child_cap)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            log("pre-warm child timed out at %.0fs cap" % child_cap)
+        log("pre-warm child: %.0fs (rc=%d)" % (time.time() - t0, rc))
+        if rc != 0:
+            ok, detail = preflight(log, max_wait_s=180.0)
+            if not ok:
+                emit_result(0.0, {
+                    "error": "backend died during pre-warm: " + detail})
+                return
 
     import jax
     log("backend:", jax.default_backend(), jax.devices())
@@ -182,6 +289,10 @@ def main():
         log("warm-up compiled in-process (%.0fs): re-exec for a healthy"
             " measuring process" % m.timings["encode_s"])
         os.environ["IIVISION_BENCH_NO_CHILD"] = "1"
+        # the driver's clock doesn't reset on re-exec: hand the remaining
+        # budget down so stage gates stay honest
+        os.environ["IIVISION_BENCH_BUDGET_S"] = str(max(300.0,
+                                                        budget_left()))
         sys.stderr.flush()
         os.execv(sys.executable,
                  [sys.executable, __file__, "--retried"] + sys.argv[1:])
@@ -205,6 +316,7 @@ def main():
              for k, v in stats.items()})
         log("single-movie realtime_x = %.2f (source %dx%d, "
             "resize+quantize+audio included)" % (realtime_x, SRC_W, SRC_H))
+        _BEST["x"] = max(_BEST["x"], realtime_x)
 
     # --- batched per-chip throughput (full pipeline on device) --------------
     from iivision_tpu import encoder
@@ -292,6 +404,7 @@ def main():
             % (B, batch_wall, batch_x))
         res_b = PlayerVM().decode(streams[-1])
         assert res_b.ok, res_b.error
+        _BEST["x"] = max(_BEST["x"], batch_x)
 
     # steady-state: device computes batch r+1 while a worker thread pulls
     # batch r's compacted ops over 4 concurrent streams and emits bytes.
@@ -302,6 +415,10 @@ def main():
     R = 4
     pipe_x = 0.0
     for rep in range(3 if measure else 1):
+        if measure and rep > 0 and budget_left() < 240:
+            log("budget low (%.0fs left): stopping pipelined reps early"
+                % budget_left())
+            break
         t0 = time.time()
         pending, lv = run_pipeline(5000 + 1000 * rep)
         parts = compact_parts(pending)
@@ -317,6 +434,7 @@ def main():
         log("pipelined %dx B=%d rep %d: %.2fs wall -> %.1fx realtime"
             % (R, B, rep, pipe_wall, rep_x))
         pipe_x = max(pipe_x, rep_x)
+        _BEST["x"] = max(_BEST["x"], rep_x)
     res_p = PlayerVM().decode(streams[-1])
     assert res_p.ok, res_p.error
     batch_x = max(batch_x, pipe_x) if measure else 0.0
@@ -366,6 +484,13 @@ def main():
             seeds=np.arange(seed, seed + B))
         return ops_b, host_s
 
+    if measure and budget_left() < 300:
+        log("budget low (%.0fs left): skipping host-fed + soak + tablegen"
+            % budget_left())
+        emit_result(max(realtime_x, batch_x),
+                    {"note": "budget-truncated run"})
+        return
+
     ops_b, _ = run_host_fed(1)  # warm-up/compile
     streams = emit_all(pmesh.fetch_ops_compact(ops_b, plan), levels_host)
     res_h = PlayerVM().decode(streams[-1])
@@ -409,8 +534,13 @@ def main():
             stream_chunk_frames=256)
         # (1200 encoded frames -> 5 streamed segments, bounded HBM)
 
-    build_long(synth_long(0)).transcode("/tmp/bench_long.a2m")  # warm-up
-    if measure:
+    skip_soak = measure and budget_left() < 240
+    if skip_soak:
+        log("budget low (%.0fs left): skipping long-movie soak"
+            % budget_left())
+    else:
+        build_long(synth_long(0)).transcode("/tmp/bench_long.a2m")  # warm-up
+    if measure and not skip_soak:
         long_src = synth_long(17)
         t0 = time.time()
         m_long = build_long(long_src)
@@ -431,6 +561,12 @@ def main():
             % (mres.cycles, mres.n_recv))
 
     # --- LUT artifact generation (reference-compatible npz) -----------------
+    if measure and budget_left() < 120:
+        log("budget low (%.0fs left): skipping tablegen timing"
+            % budget_left())
+        emit_result(max(realtime_x, batch_x),
+                    {"note": "budget-truncated run"})
+        return
     t0 = time.time()
     tables = editdist.build_tables(VideoMode.DHGR, Palette.NTSC)
     tables.block_until_ready()
@@ -447,14 +583,20 @@ def main():
     if not measure:
         log("warm-only child done (all programs compiled/service-cached)")
         return
-    headline = max(realtime_x, batch_x)
-    print(json.dumps({
-        "metric": "dhgr_transcode_realtime_x",
-        "value": round(headline, 2),
-        "unit": "x_realtime",
-        "vs_baseline": round(headline / BASELINE_REALTIME_X, 1),
-    }))
+    emit_result(max(realtime_x, batch_x))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        if isinstance(e, (SystemExit, KeyboardInterrupt)):
+            raise
+        import traceback
+        traceback.print_exc()
+        # a mid-run failure must still yield a parseable line with the
+        # best measurement completed so far (0.0 if none)
+        if "--warm-only" not in sys.argv:
+            emit_result(_BEST["x"],
+                        {"error": "%s: %s" % (type(e).__name__, e)})
+        sys.exit(0 if "--warm-only" not in sys.argv else 1)
