@@ -70,11 +70,48 @@ def _cache_dir() -> str:
         "iivision_tpu", "export_cache")
 
 
-def _blob_path(key: str, avals) -> str:
+def _code_fingerprint(fn) -> str:
+    """A fingerprint that changes whenever the traced program might.
+
+    The hand-written `key` tuple only captures the parameters the author
+    remembered to include; if a code change alters what the traced
+    function computes without touching those, a populated export cache
+    would silently serve the OLD program.  Hashing the source of the
+    function AND of every module in this package makes any package code
+    change invalidate all blobs (blobs re-export in ~2s, so
+    over-invalidation is cheap; staleness is not).
+    """
+    h = hashlib.sha256()
+    try:
+        import inspect
+
+        h.update(inspect.getsource(fn).encode())
+    except (OSError, TypeError):
+        pass
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = sorted(
+            f for f in os.listdir(pkg_dir) if f.endswith(".py"))
+        for name in names:
+            with open(os.path.join(pkg_dir, name), "rb") as f:
+                h.update(f.read())
+        for sub in ("ops", "parallel", "stream"):
+            sdir = os.path.join(pkg_dir, sub)
+            for name in sorted(
+                    f for f in os.listdir(sdir) if f.endswith(".py")):
+                with open(os.path.join(sdir, name), "rb") as f:
+                    h.update(f.read())
+    except OSError:
+        pass
+    return h.hexdigest()[:16]
+
+
+def _blob_path(key: str, avals, code_fp: str = "") -> str:
     import jax
 
     h = hashlib.sha256()
     h.update(jax.__version__.encode())
+    h.update(code_fp.encode())
     h.update(repr(key).encode())
     h.update(repr(avals).encode())
     return os.path.join(_cache_dir(), h.hexdigest()[:24] + ".stablehlo")
@@ -86,6 +123,7 @@ class _AotFn:
     def __init__(self, fn, key: Tuple[Any, ...]):
         self._fn = fn
         self._key = key
+        self._code_fp = _code_fingerprint(fn)
         self._plain = None        # lazy jax.jit fallback
         self._by_avals = {}       # avals -> jitted exported call
         self._lock = threading.Lock()
@@ -109,7 +147,8 @@ class _AotFn:
             fn = self._by_avals.get(avals)
             if fn is not None:
                 return fn
-            path = _blob_path(self._key + (platform,), avals)
+            path = _blob_path(self._key + (platform,), avals,
+                              self._code_fp)
             # Measured dead end - do NOT add an executable-level cache
             # (jax.experimental.serialize_executable) here: on the remote
             # backend a deserialized executable still triggers the full

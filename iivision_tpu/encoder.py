@@ -833,8 +833,10 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
     its stages.  Output is bit-identical to encode_movie (same seed):
     same chunk machinery, same absolute step indices.
 
-    Returns (flat_ops_per_segment list, final main, final aux,
-    accumulated (targets_main, targets_aux) host arrays).
+    Returns a 5-tuple (ops, main, aux, targets_main, targets_aux): the
+    segments' step-major padded op arrays concatenated into one, the
+    final main/aux screen banks, and the accumulated quantized-target
+    host arrays (targets_aux is None for HGR).
     """
     import jax.numpy as jnp
 

@@ -244,23 +244,31 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
     q = queue.Queue(maxsize=QUEUE_BATCHES)
     stop = threading.Event()
 
+    def put(item):
+        # stop-aware: if the consumer abandoned the generator with the
+        # queue full, the producer must exit instead of blocking forever
+        # holding its batch buffers (applies to the terminal "done"/
+        # "error" sentinels too)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for i in range(0, len(sel), b):
                 if stop.is_set():
                     return
                 chunk = [np.asarray(f, np.uint8) for f in sel[i:i + b]]
-                item = ("batch", _quantize_batch(
-                    _resize_stack(chunk), mode, palette, "ordered"))
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-            q.put(("done", None))
+                if not put(("batch", _quantize_batch(
+                        _resize_stack(chunk), mode, palette, "ordered"))):
+                    return
+            put(("done", None))
         except BaseException as e:
-            q.put(("error", e))
+            put(("error", e))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -276,9 +284,18 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
         stop.set()
 
 
+# Quantizer-behaviour version, folded into the cache tag: v2 = the default
+# ordered path moved from the device quantizer to the C++ fused-LUT host
+# path (borderline pixels can differ), so v1 caches written by the old
+# quantizer must not be silently reused.  Bump on any change that alters
+# quantized output for an existing tag.
+_QUANTIZER_CACHE_VER = 2
+
+
 def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:
     base = os.path.splitext(path)[0]
-    tag = "%s_%s_n%d_%s" % (mode.name, palette.name, every_n, dither_name)
+    tag = "%s_%s_n%d_%s_v%d" % (mode.name, palette.name, every_n,
+                                dither_name, _QUANTIZER_CACHE_VER)
     return "%s.iiv_%s.npz" % (base, tag)
 
 

@@ -148,7 +148,11 @@ extern "C" int64_t emit_stream(
         int32_t mode_byte, int32_t dhgr,
         int32_t ops_first_frame, int32_t ops_per_frame,
         uint8_t* out, int64_t out_cap) {
+    // Capacity is checked BEFORE each write region: if the Python-side
+    // size formula ever drifts from this emission cadence the result must
+    // be a clean -1, not a heap overflow discovered after the fact.
     int64_t p = 0;
+    if (out_cap < 7) return -1;
     for (int i = 0; i < 6; i++) out[p++] = 0xFF;
     out[p++] = (uint8_t)mode_byte;
 
@@ -157,6 +161,7 @@ extern "C" int64_t emit_stream(
     while (pos < n) {
         int64_t cap = (seg == 0) ? ops_first_frame : ops_per_frame;
         int64_t take = (cap < n - pos) ? cap : n - pos;
+        if (p + take * 7 + (take == cap ? 4 : 0) > out_cap) return -1;
         for (int64_t i = pos; i < pos + take; i++) {
             const int32_t* op = flat_ops + i * 6;
             int32_t duty = levels[i] + 15;           // 0..31
@@ -179,10 +184,11 @@ extern "C" int64_t emit_stream(
         }
         seg++;
     }
+    if (p + 2 > out_cap) return -1;
     out[p++] = (uint8_t)(term_addr >> 8);
     out[p++] = (uint8_t)(term_addr & 0xFF);
     int64_t pad = (2048 - (p % 2048)) % 2048;
+    if (p + pad > out_cap) return -1;
     for (int64_t i = 0; i < pad; i++) out[p++] = 0;
-    if (p > out_cap) return -1;  // caller sized the buffer wrong
     return p;
 }

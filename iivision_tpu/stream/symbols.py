@@ -5,14 +5,27 @@ those addresses are read from the cc65 debug file emitted when the player is
 assembled (parity: reference transcoder/symbol_table.py:6-38, reference
 transcoder/opcodes.py:168-187).  `iivision_tpu/data/iivision.dbg` is the
 checked-in build artifact of the reference player binary - the frozen ABI.
+
+A cc65 debug file is line-oriented; each line is `<kind>\t<csv of k=v>`.
+Only `sym` lines matter here, e.g.:
+
+    sym	id=907,name="op_ack",addrsize=absolute,...,val=0x8007,...
 """
 
 import os
+import re
 from typing import Dict, Optional, TextIO
 
 DEFAULT_DBG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "data", "iivision.dbg")
+
+# one k=v field of a sym line; values are either "quoted" or bare tokens
+_FIELD = re.compile(r'([A-Za-z]+)=("[^"]*"|[^,]*)')
+
+
+class SymbolFormatError(ValueError):
+    """A .dbg sym record is missing a field the stream ABI requires."""
 
 
 class SymbolTable:
@@ -22,18 +35,19 @@ class SymbolTable:
         self.debugfile = debugfile or DEFAULT_DBG
 
     def parse(self, iostream: Optional[TextIO] = None) -> Dict[str, Dict]:
-        syms = {}
         if iostream is None:
             iostream = open(self.debugfile, "r")
+        syms: Dict[str, Dict] = {}
         with iostream as f:
-            for line in f.read().split("\n"):
-                if not line.startswith("sym"):
+            for line in f:
+                kind, _, rest = line.rstrip("\n").partition("\t")
+                if kind != "sym":
                     continue
-                sym = {}
-                for kv in line.split()[1].split(","):
-                    k, v = kv.split("=")
-                    sym[k] = v
-                syms[sym["name"]] = sym
+                sym = {m.group(1): m.group(2)
+                       for m in _FIELD.finditer(rest)}
+                name = sym.get("name")
+                if name is not None:
+                    syms[name] = sym
         return syms
 
     def opcode_addresses(self) -> Dict[str, int]:
@@ -45,6 +59,17 @@ class SymbolTable:
         out = {}
         for name, data in self.parse().items():
             stripped = name.strip('"')
-            if stripped.startswith("op_"):
-                out[stripped[3:]] = int(data["val"], 16)
+            if not stripped.startswith("op_"):
+                continue
+            val = data.get("val")
+            if val is None:
+                raise SymbolFormatError(
+                    "sym %r has no val= field in %s"
+                    % (stripped, self.debugfile))
+            try:
+                out[stripped[3:]] = int(val, 16)
+            except ValueError:
+                raise SymbolFormatError(
+                    "sym %r has non-hex val=%r in %s"
+                    % (stripped, val, self.debugfile))
         return out
