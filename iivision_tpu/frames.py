@@ -286,10 +286,11 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
 
 # Quantizer-behaviour version, folded into the cache tag: v2 = the default
 # ordered path moved from the device quantizer to the C++ fused-LUT host
-# path (borderline pixels can differ), so v1 caches written by the old
-# quantizer must not be silently reused.  Bump on any change that alters
-# quantized output for an existing tag.
-_QUANTIZER_CACHE_VER = 2
+# path (borderline pixels can differ), v3 = the fused LUT moved from 5-bit
+# to 6-bit channel bins (halves the borderline divergence), so caches
+# written by older quantizers must not be silently reused.  Bump on any
+# change that alters quantized output for an existing tag.
+_QUANTIZER_CACHE_VER = 3
 
 
 def _cache_path(path: str, mode, palette, every_n, dither_name) -> str:

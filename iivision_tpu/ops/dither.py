@@ -110,9 +110,9 @@ def _srgb_to_lab_jnp(rgb255):
 # the host->device hop shrinks the transfer ~6x (8KB screen banks vs RGB
 # frames), which matters on thin links (PCIe contention in production;
 # the ~20MB/s tunnel here).  Approximation vs the device path: channels
-# quantize to 5 bits before the palette decision (the Bayer threshold
-# shifts by <= 4/255) - a small fraction of borderline pixels flip;
-# tests pin the mismatch rate and quality equivalence.
+# quantize to FUSED_LUT_BITS bits before the palette decision - a small
+# fraction of borderline pixels flip; tests pin the mismatch rate and
+# quality equivalence.
 
 
 def _lut_cache_path(tag: str) -> str:
@@ -123,18 +123,26 @@ def _lut_cache_path(tag: str) -> str:
     return os.path.join(root, "quantize_lut_%s.npy" % tag)
 
 
+FUSED_LUT_BITS = 6  # channel bin resolution of the host fused LUT: 6 bits
+# (16MB table) keeps borderline-pixel divergence vs the exact device
+# quantizer at ~1.6% of pixels (5 bits measured 3.2% and cost ~+4% replay
+# error on the pinned clip - the round-3 "nonce drift" was actually this)
+
+
 @functools.lru_cache(None)
 def _host_fused_lut(palette: Palette, codes: Optional[tuple] = None,
-                    strength: float = 24.0) -> np.ndarray:
-    """(64 * 32^3,) uint8 fused quantize LUT.
+                    strength: float = 24.0,
+                    bits: int = FUSED_LUT_BITS) -> np.ndarray:
+    """(64 << (3*bits),) uint8 fused quantize LUT.
 
-    Entry [cell, r5, g5, b5] = nearest palette code (among `codes`, or all
-    16) in Lab space for the bin-centre RGB perturbed by bayer cell
-    `cell`'s threshold offset.  Disk-cached (~2MB).
+    Entry [cell, r, g, b] (channels binned to `bits`) = nearest palette
+    code (among `codes`, or all 16) in Lab space for the bin-centre RGB
+    perturbed by bayer cell `cell`'s threshold offset.  Disk-cached.
     """
     import os
-    tag = "fused_%s_%s_%g" % (
-        palette.name,
+    n = 1 << bits
+    tag = "fused%d_%s_%s_%g" % (
+        bits, palette.name,
         "all" if codes is None else "".join("%x" % c for c in codes),
         strength)
     path = _lut_cache_path(tag)
@@ -144,10 +152,11 @@ def _host_fused_lut(palette: Palette, codes: Optional[tuple] = None,
     sel = np.arange(16) if codes is None else np.asarray(codes)
     pal = lab_pal[sel]
     bayer = _bayer_matrix(8).reshape(64)
-    bins = (np.arange(32) * 8 + 3.5)
+    step = 256 // n
+    bins = np.arange(n) * step + (step - 1) / 2.0
     r, g, b = np.meshgrid(bins, bins, bins, indexing="ij")
-    rgb = np.stack([r, g, b], axis=-1).reshape(-1, 3)  # (32768, 3)
-    lut = np.empty((64, 32 * 32 * 32), np.uint8)
+    rgb = np.stack([r, g, b], axis=-1).reshape(-1, 3)  # (n^3, 3)
+    lut = np.empty((64, n * n * n), np.uint8)
     for cell in range(64):
         off = (bayer[cell] - 0.5) * strength
         pert = np.clip(rgb + off, 0.0, 255.0)

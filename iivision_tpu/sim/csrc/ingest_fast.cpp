@@ -40,21 +40,25 @@ inline void row_addr(int y, int* page, int* off_base) {
 
 extern "C" {
 
-// rgb: (F, 192, 140, 3) uint8; lut: (64*32*32*32) uint8 fused bayer LUT;
-// out: (F, 192, 140) uint8 colour codes.
+// rgb: (F, 192, 140, 3) uint8; lut: (64 << (3*bits)) uint8 fused bayer LUT
+// keyed [cell][r>>(8-bits)][g>>(8-bits)][b>>(8-bits)]; out: (F, 192, 140)
+// uint8 colour codes.  bits = channel bin resolution (6 -> 16MB LUT; the
+// finer bins cut borderline-pixel divergence vs the exact device quantizer
+// roughly in half per extra bit).
 void quantize_fused(const uint8_t* rgb, int64_t F, const uint8_t* lut,
-                    uint8_t* out) {
+                    int bits, uint8_t* out) {
+    const int shift = 8 - bits;
     for (int64_t f = 0; f < F; f++) {
         for (int y = 0; y < H; y++) {
             int cy = (y & 7) << 3;
             const uint8_t* row = rgb + ((f * H + y) * W) * 3;
             uint8_t* orow = out + (f * H + y) * W;
             for (int x = 0; x < W; x++) {
-                uint32_t cell = (uint32_t)(cy | (x & 7)) << 15;
+                uint32_t cell = (uint32_t)(cy | (x & 7)) << (3 * bits);
                 uint32_t key = cell
-                    | ((uint32_t)(row[x * 3 + 0] >> 3) << 10)
-                    | ((uint32_t)(row[x * 3 + 1] >> 3) << 5)
-                    | (uint32_t)(row[x * 3 + 2] >> 3);
+                    | ((uint32_t)(row[x * 3 + 0] >> shift) << (2 * bits))
+                    | ((uint32_t)(row[x * 3 + 1] >> shift) << bits)
+                    | (uint32_t)(row[x * 3 + 2] >> shift);
                 orow[x] = lut[key];
             }
         }

@@ -66,7 +66,8 @@ def _ingest_lib():
     lib = ctypes.CDLL(so)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.quantize_fused.restype = None
-    lib.quantize_fused.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+    lib.quantize_fused.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int,
+                                   u8p]
     lib.dhgr_pack.restype = None
     lib.dhgr_pack.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
     lib.hgr_fit.restype = None
@@ -80,12 +81,15 @@ def _u8p(a):
 
 def quantize_fused(rgb: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """(..., 192, 140, 3) uint8 RGB -> (..., 192, 140) uint8 codes via the
-    fused (bayer_cell, r5, g5, b5) LUT (dither._host_fused_lut)."""
+    fused (bayer_cell, r, g, b binned) LUT (dither._host_fused_lut); the
+    channel bin resolution is inferred from the LUT size."""
     lead = rgb.shape[:-3]
     F = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    bits = (int(lut.size // 64).bit_length() - 1) // 3
+    assert lut.size == 64 << (3 * bits), lut.size
     flat = np.ascontiguousarray(rgb, np.uint8).reshape(F, 192, 140, 3)
     out = np.empty((F, 192, 140), np.uint8)
-    _ingest_lib().quantize_fused(_u8p(flat), F, _u8p(lut), _u8p(out))
+    _ingest_lib().quantize_fused(_u8p(flat), F, _u8p(lut), bits, _u8p(out))
     return out.reshape(lead + (192, 140))
 
 

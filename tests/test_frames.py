@@ -245,8 +245,8 @@ def test_reference_cache_dir_naming():
 
 def test_host_quantize_close_to_device_and_pack_identical():
     """The C++ fused-LUT host quantizer must agree with the device path on
-    all but borderline pixels (5-bit channel binning moves the dither
-    threshold by <= 4/255), and its packing must be bit-identical."""
+    all but borderline pixels (6-bit channel binning moves the dither
+    threshold by <= 2/255), and its packing must be bit-identical."""
     from iivision_tpu.ops import dither
 
     x = np.linspace(0, 255, 140)[None, :, None]
@@ -257,7 +257,7 @@ def test_host_quantize_close_to_device_and_pack_identical():
 
     host = dither.quantize_ordered_host(rgb, Palette.NTSC)
     dev = np.asarray(dither.quantize_ordered(rgb, Palette.NTSC))
-    assert (host != dev).mean() < 0.05
+    assert (host != dev).mean() < 0.025
 
     m_c, a_c = dither.dhgr_pack_host(host)
     m_j, a_j = dither.dhgr_codes_to_memory(host.astype(np.int32))

@@ -1,0 +1,71 @@
+"""Seeded-mode quality regression gate.
+
+Round 3 shipped a silent +5% replay-error drift on the pinned K/J sweep
+(BENCH_NOTES.md round-3 notes attributed it to nonce refolding; round-4
+diagnosis: the default ordered quantizer had moved from the exact device
+path to the 5-bit-binned C++ fused LUT, changing the targets themselves).
+This gate pins the end-to-end seeded quality - ingest quantizer included -
+so any change that degrades the pinned clip's replay error by more than 1%
+fails loudly instead of drifting into the record.
+
+Baseline: tests/data/quality_baseline.json (regenerate deliberately with
+the snippet in its "note" field when a quality change is intended).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from iivision_tpu import audio as audio_mod, encoder, quality
+from iivision_tpu.movie import Movie, get_distance
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+_BASELINE = os.path.join(os.path.dirname(__file__), "data",
+                         "quality_baseline.json")
+
+
+def _pinned_clip():
+    from bench import synth_clip
+
+    return synth_clip(seconds=5.0)
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    with open(_BASELINE) as f:
+        return json.load(f)["rows"]
+
+
+@pytest.fixture(scope="module")
+def movie_inputs():
+    rgb = _pinned_clip()
+    n = int(5.0 * 14700)
+    tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700)
+            * 16000).astype(np.float32)
+    dist = get_distance(VideoMode.DHGR, Palette.NTSC)
+    return rgb, tone, dist
+
+
+@pytest.mark.parametrize("k,j", [(16, 4), (32, 8)])
+def test_replay_error_pinned(baseline, movie_inputs, k, j):
+    rgb, tone, dist = movie_inputs
+    aud = audio_mod.Audio(data=tone, rate=14700, bitrate=14700)
+    m = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
+              video_mode=VideoMode.DHGR, palette=Palette.NTSC, k=k, j=j,
+              seed=0, dist=dist)
+    flat, _ = m.encode_ops()
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
+    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt,
+                                      VideoMode.DHGR, m.dist)
+    row = baseline["dhgr_ntsc_k%d_j%d_seed0" % (k, j)]
+    assert rep.mean_error <= row["mean_error"] * 1.01, (
+        "replay mean error regressed >1%% vs committed baseline: "
+        "%.4f > %.4f * 1.01 - if the change is an intended quality "
+        "trade, regenerate tests/data/quality_baseline.json and say so "
+        "in the commit" % (rep.mean_error, row["mean_error"]))
+    assert rep.final_error <= row["final_error"] * 1.02 + 0.05, (
+        rep.final_error, row["final_error"])
