@@ -114,19 +114,56 @@ def _prepare_workdir(workdir, mode, palette):
 
 # --- the reference movie loop -------------------------------------------------
 
+class _ZeroRandom:
+    """Stands in for the reference's `random` module with all tie-break
+    nonces pinned to zero, so its heap order falls through to the
+    deterministic (page, offset) fields."""
+
+    @staticmethod
+    def getrandbits(_n):
+        return 0
+
+    @staticmethod
+    def seed(_s):
+        pass
+
+
 def reference_encode(ref, targets_main, targets_aux, plan, mode, palette,
                      every_n, input_frame_rate, ticks_per_second,
-                     n_frames_total, seed=0):
+                     n_frames_total, seed=0, zero_rng=False):
     """Drive the reference Video encoder through the movie loop.
 
     Mirrors reference movie.py:56-111 exactly (tick clock, frame pulls,
     bank flips at 2KB ACK boundaries) with the bank schedule taken from our
     plan - which is derived from the same framing arithmetic the reference's
     emit_stream uses.  Returns (n_ops, 6) flat ops [page, content, o0..o3].
+
+    zero_rng=True pins BOTH of the reference's tie-break nonce sources
+    (random.getrandbits at video.py:178/291, np.random.randint at
+    video.py:265) to zero for the greedy-parity comparison; the encode
+    becomes fully deterministic.
     """
     import random
     random.seed(seed)
     np.random.seed(seed)
+    saved_randint = np.random.randint
+    if zero_rng:
+        ref.video.random = _ZeroRandom
+        np.random.randint = lambda lo, hi=None, size=None: np.zeros(
+            size if size is not None else (), np.int64)
+    try:
+        return _reference_encode_inner(
+            ref, targets_main, targets_aux, plan, mode, palette, every_n,
+            input_frame_rate, ticks_per_second, n_frames_total)
+    finally:
+        np.random.randint = saved_randint
+        if zero_rng:
+            ref.video.random = random
+
+
+def _reference_encode_inner(ref, targets_main, targets_aux, plan, mode,
+                            palette, every_n, input_frame_rate,
+                            ticks_per_second, n_frames_total):
 
     ref_mode = (ref.VideoMode.DHGR if mode.name == "DHGR"
                 else ref.VideoMode.HGR)
@@ -189,6 +226,77 @@ def reference_encode(ref, targets_main, targets_aux, plan, mode, palette,
         ops_out[i, 2:6] = offsets
         i += 1
     return ops_out[:i]
+
+
+# --- greedy-parity reporting --------------------------------------------------
+
+def _report_parity(args, flat_ours, flat_ref, plan, lanes_tgt, mode, dist,
+                   quality, movie_seconds):
+    """Quantify opcode-for-opcode agreement between our reference-order
+    K=1 emulation and the actual reference encoder under pinned RNG."""
+    ours = np.asarray(flat_ours)
+    ref_ops = np.asarray(flat_ref)
+    n = len(ours)
+    eq_full = (ours == ref_ops).all(axis=1)
+    eq_primary = (ours[:, [0, 1, 2]] == ref_ops[:, [0, 1, 2]]).all(axis=1)
+    # offsets as SETS per op (slot order differs only if our companion
+    # ordering diverges; the emitted store effect is order-independent)
+    set_eq = np.array(
+        [set(a[2:]) == set(b[2:]) for a, b in zip(ours, ref_ops)])
+    eq_stores = eq_primary & set_eq & (ours[:, 1] == ref_ops[:, 1])
+    div = np.nonzero(~eq_full)[0]
+    first = int(div[0]) if div.size else -1
+    prefix = first if first >= 0 else n
+
+    rep_ours = quality.replay_frame_errors(ours, plan, lanes_tgt, mode,
+                                           dist)
+    rep_ref = quality.replay_frame_errors(ref_ops, plan, lanes_tgt, mode,
+                                          dist)
+    summary = {
+        "mode": args.mode,
+        "clip": args.clip,
+        "parity": True,
+        "n_ops": int(n),
+        "exact_op_agreement": round(float(eq_full.mean()), 6),
+        "identical_prefix_ops": prefix,
+        "primary_agreement": round(float(eq_primary.mean()), 6),
+        "store_set_agreement": round(float(eq_stores.mean()), 6),
+        "first_divergence": first,
+        "ours_mean_error": round(rep_ours.mean_error, 4),
+        "ref_mean_error": round(rep_ref.mean_error, 4),
+    }
+    if first >= 0:
+        summary["ours_op_at_divergence"] = ours[first].tolist()
+        summary["ref_op_at_divergence"] = ref_ops[first].tolist()
+
+    with open(args.report, "a") as f:
+        f.write("\n## %s greedy-parity (pinned RNG, %.1fs '%s' clip, "
+                "k=1, j=1, every_n=%d) — %s\n\n"
+                % (args.mode, movie_seconds, args.clip, args.every_n,
+                   time.strftime("%Y-%m-%d %H:%M")))
+        f.write("Reference encoder run with all tie-break nonces pinned "
+                "to zero (video.py:178, 265, 291); ours is the "
+                "reference-order K=1 emulation (encoder_parity.py: stale "
+                "heap, <=2 companions, primary-padded 4th slot) on our "
+                "store-cost model.\n\n")
+        f.write("| metric | value |\n|---|---|\n")
+        f.write("| ops compared | %d |\n" % n)
+        f.write("| exact opcode agreement | %.4f%% |\n"
+                % (100 * eq_full.mean()))
+        f.write("| identical prefix | %d ops |\n" % prefix)
+        f.write("| primary (page,content,o0) agreement | %.4f%% |\n"
+                % (100 * eq_primary.mean()))
+        f.write("| store-set agreement | %.4f%% |\n"
+                % (100 * eq_stores.mean()))
+        f.write("| replay mean error (ours / ref) | %.4f / %.4f |\n"
+                % (rep_ours.mean_error, rep_ref.mean_error))
+        if first >= 0:
+            f.write("\nfirst divergence at op %d: ours %s vs reference "
+                    "%s\n" % (first, ours[first].tolist(),
+                              ref_ops[first].tolist()))
+
+    print(json.dumps(summary))
+    return summary
 
 
 # --- the A/B ------------------------------------------------------------------
@@ -282,7 +390,14 @@ def main(argv=None):
                          "selected).")
     ap.add_argument("--workdir", default="/tmp/iiv_ab")
     ap.add_argument("--report", default=os.path.join(REPO, "AB_REPORT.md"))
+    ap.add_argument("--parity", action="store_true",
+                    help="Greedy-parity mode: pin the reference's RNG to "
+                         "zero, run our reference-order K=1 emulation, and "
+                         "report opcode-for-opcode agreement (forces "
+                         "k=1, j=1).")
     args = ap.parse_args(argv)
+    if args.parity:
+        args.k = args.j = 1
 
     sys.path.insert(0, REPO)
     if os.environ.get("IIVISION_FORCE_CPU"):
@@ -314,9 +429,14 @@ def main(argv=None):
 
     # ours
     t0 = time.time()
-    ops_dev, fin_m, fin_a = encoder.encode_movie(
-        dist_enc, lanes_tgt, bytes_tgt, plan, mode, seed=0)
-    flat_ours = encoder.flatten_ops(np.asarray(ops_dev), plan)
+    if args.parity:
+        from iivision_tpu import encoder_parity
+        flat_ours = encoder_parity.encode_movie_reference_order(
+            dist_enc, lanes_tgt, bytes_tgt, plan, mode)
+    else:
+        ops_dev, fin_m, fin_a = encoder.encode_movie(
+            dist_enc, lanes_tgt, bytes_tgt, plan, mode, seed=0)
+        flat_ours = encoder.flatten_ops(np.asarray(ops_dev), plan)
     ours_s = time.time() - t0
     print("ours: %d ops in %.1fs" % (len(flat_ours), ours_s),
           file=sys.stderr)
@@ -330,7 +450,8 @@ def main(argv=None):
         t0 = time.time()
         flat_ref = reference_encode(
             ref, tgt_main, tgt_aux, plan, mode, palette,
-            args.every_n, fps, tps, mf.n_frames_total, seed=0)
+            args.every_n, fps, tps, mf.n_frames_total, seed=0,
+            zero_rng=args.parity)
         ref_s = time.time() - t0
     finally:
         os.chdir(cwd)
@@ -338,6 +459,11 @@ def main(argv=None):
           file=sys.stderr)
     assert len(flat_ref) == len(flat_ours) == plan.n_ops, (
         len(flat_ref), len(flat_ours), plan.n_ops)
+
+    if args.parity:
+        return _report_parity(args, flat_ours, flat_ref, plan, lanes_tgt,
+                              mode, dist, quality, movie_seconds=
+                              plan.n_ops / tps)
 
     # score both with the same replayed metric (the reference's window
     # basis - neutral ground even when ours optimised yiq)

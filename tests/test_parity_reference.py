@@ -1,0 +1,65 @@
+"""Opcode-for-opcode greedy parity vs the ACTUAL reference encoder.
+
+Runs the real reference greedy loop (/root/reference/transcoder/video.py)
+with its tie-break RNG pinned to zero against our reference-order K=1
+emulation (encoder_parity.py) on a short clip, and requires EXACT stream
+equality.  This is the SURVEY §7 Phase-4 pinned-parity contract; the full
+artifact (DHGR/HGR, bars/photo, 1-4s clips, all 100% agreement) lives in
+AB_REPORT.md via `bench_ab_reference.py --parity`.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference/transcoder"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference tree not present")
+@pytest.mark.parametrize("mode_name", ["DHGR", "HGR"])
+def test_reference_order_parity(mode_name, tmp_path):
+    import bench_ab_reference as ab
+
+    summary = ab.main(["--parity", "--mode", mode_name,
+                       "--seconds", "0.25",
+                       "--workdir", "/tmp/iiv_ab",
+                       "--report", str(tmp_path / "report.md")])
+    assert summary["exact_op_agreement"] == 1.0, summary
+    assert summary["first_divergence"] == -1, summary
+    assert summary["ours_mean_error"] == summary["ref_mean_error"]
+
+
+def test_reference_order_encoder_standalone():
+    """Without the reference: the parity encoder emits a valid, convergent
+    stream on random targets and is deterministic."""
+    from iivision_tpu import encoder, encoder_parity
+    from iivision_tpu.ops import distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.video_mode import VideoMode
+
+    mode = VideoMode.DHGR
+    dist = distance.ComputedDistance(mode, Palette.NTSC)
+    rng = np.random.RandomState(42)
+    fmain = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    faux = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=2400, input_frame_rate=12.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode,
+        k=1, j=1)
+    lanes, bytes_ = encoder.prepare_targets(fmain, faux, mode)
+    ops1 = encoder_parity.encode_movie_reference_order(
+        dist, lanes, bytes_, plan, mode)
+    ops2 = encoder_parity.encode_movie_reference_order(
+        dist, lanes, bytes_, plan, mode)
+    assert np.array_equal(ops1, ops2)
+    assert ops1.shape == (plan.n_ops, 6)
+    assert (ops1[:, 0] >= 32).all() and (ops1[:, 0] < 64).all()
+    # a K=1 plan must refuse nothing; a K>1 plan must be rejected
+    plan_k8, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=2400, input_frame_rate=12.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    with pytest.raises(ValueError):
+        encoder_parity.encode_movie_reference_order(
+            dist, lanes, bytes_, plan_k8, mode)
