@@ -71,7 +71,8 @@ def our_variants(rgb140: np.ndarray, mode: VideoMode, palette: Palette):
         codes = dither.quantize_ordered_host(rgb140[None], palette)[0]
         m, a = dither.dhgr_pack_host(codes[None])
         yield "ordered", m[0], a[0]
-        for kernel in ("buckels", "atkinson", "jarvis"):
+        for kernel in ("buckels", "atkinson", "jarvis",
+                       "d1", "d4", "d9"):
             c = dither.quantize_error_diffusion(
                 rgb140.astype(np.float32), palette, kernel=kernel)
             m, a = dither.dhgr_pack_host(

@@ -212,12 +212,26 @@ def quantize_hgr_host(rgb: np.ndarray, palette: Palette) -> np.ndarray:
 
 def quantize_error_diffusion(rgb: np.ndarray, palette: Palette,
                              kernel: str = "buckels") -> np.ndarray:
-    """Serpentine error-diffusion quantization (host, C++).
+    """Error-diffusion quantization (host, C++).
+
+    Two engines:
+    - "floyd"/"buckels"/"atkinson"/"jarvis": serpentine float diffusion
+      with redmean-weighted matching (this package's own dither);
+    - "d1".."d9": bmp2dhr-mechanics raster diffusion - saturating integer
+      error accumulation, truncating tap division, Euclidean RGB matching -
+      the reference's frame quantizer family (frame_grabber.py:78-83 runs
+      bmp2dhr with "D9"; see dither.cpp for the provenance notes and the
+      d9-matrix reconstruction caveat).
 
     rgb: (192, 140, 3) float/uint8.  Returns (192, 140) int32 colour codes.
     """
     from iivision_tpu.sim import native
 
+    if kernel.startswith("d") and kernel[1:].isdigit():
+        return native.dither_bmp2dhr(
+            np.ascontiguousarray(np.clip(rgb, 0, 255), dtype=np.uint8),
+            palettes.palette_rgb_array(palette).astype(np.uint8),
+            int(kernel[1:]))
     return native.dither(np.ascontiguousarray(rgb, dtype=np.float32),
                          palettes.palette_rgb_array(palette), kernel)
 

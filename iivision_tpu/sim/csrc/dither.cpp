@@ -116,3 +116,133 @@ void dither_ed(const float* rgb, int h, int w, const float* pal, int n_pal,
 }
 
 }  // extern "C"
+
+// --- bmp2dhr-mechanics error diffusion ---------------------------------------
+//
+// The reference shells out to the external bmp2dhr binary with dither "D9"
+// (reference transcoder/frame_grabber.py:78-83).  Neither the binary nor
+// its sources are present in this environment, so exact behavioural parity
+// is unverifiable here; this engine reproduces the program's published
+// MECHANICS faithfully instead:
+//   - raster scan (left->right, top->bottom; no serpentine);
+//   - per-tap SATURATING accumulation into the pixel buffer (bmp2dhr's
+//     AdjustShortPixel clamps each neighbour to 0..255 at diffusion time,
+//     so large errors are absorbed, not propagated);
+//   - integer tap arithmetic with C truncating division (err * num / den);
+//   - nearest palette colour by plain Euclidean RGB distance, ties to the
+//     lowest palette index.
+// Kernels d1..d8 are the standard published matrices bmp2dhr names
+// (1 Floyd-Steinberg, 2 Jarvis, 3 Stucki, 4 Atkinson, 5 Burkes, 6 Sierra,
+// 7 Sierra Two, 8 Sierra Lite).  d9 "Buckels" is the author's own matrix,
+// defined only by the absent sources: the matrix used here is a documented
+// RECONSTRUCTION (Atkinson's 6-tap geometry diffusing the full error,
+// weighted toward the immediate right/down neighbours); the real-binary
+// comparison test quantifies the divergence wherever bmp2dhr is installed.
+
+namespace {
+
+struct BTap {
+  int dy, dx, num;
+};
+
+struct BKernel {
+  int n;
+  int den;
+  BTap t[12];
+};
+
+const BKernel kB[9] = {
+    // d1 Floyd-Steinberg /16
+    {4, 16, {{0, 1, 7}, {1, -1, 3}, {1, 0, 5}, {1, 1, 1}}},
+    // d2 Jarvis-Judice-Ninke /48
+    {12, 48, {{0, 1, 7}, {0, 2, 5},
+              {1, -2, 3}, {1, -1, 5}, {1, 0, 7}, {1, 1, 5}, {1, 2, 3},
+              {2, -2, 1}, {2, -1, 3}, {2, 0, 5}, {2, 1, 3}, {2, 2, 1}}},
+    // d3 Stucki /42
+    {12, 42, {{0, 1, 8}, {0, 2, 4},
+              {1, -2, 2}, {1, -1, 4}, {1, 0, 8}, {1, 1, 4}, {1, 2, 2},
+              {2, -2, 1}, {2, -1, 2}, {2, 0, 4}, {2, 1, 2}, {2, 2, 1}}},
+    // d4 Atkinson /8 (diffuses 6/8)
+    {6, 8, {{0, 1, 1}, {0, 2, 1}, {1, -1, 1}, {1, 0, 1}, {1, 1, 1},
+            {2, 0, 1}}},
+    // d5 Burkes /32
+    {7, 32, {{0, 1, 8}, {0, 2, 4},
+             {1, -2, 2}, {1, -1, 4}, {1, 0, 8}, {1, 1, 4}, {1, 2, 2}}},
+    // d6 Sierra /32
+    {10, 32, {{0, 1, 5}, {0, 2, 3},
+              {1, -2, 2}, {1, -1, 4}, {1, 0, 5}, {1, 1, 4}, {1, 2, 2},
+              {2, -1, 2}, {2, 0, 3}, {2, 1, 2}}},
+    // d7 Sierra Two /16
+    {7, 16, {{0, 1, 4}, {0, 2, 3},
+             {1, -2, 1}, {1, -1, 2}, {1, 0, 3}, {1, 1, 2}, {1, 2, 1}}},
+    // d8 Sierra Lite /4
+    {3, 4, {{0, 1, 2}, {1, -1, 1}, {1, 0, 1}}},
+    // d9 "Buckels" - RECONSTRUCTION (see header comment)
+    {6, 8, {{0, 1, 2}, {0, 2, 1}, {1, -1, 1}, {1, 0, 2}, {1, 1, 1},
+            {2, 0, 1}}},
+};
+
+inline void sat_add(int* p, int err) {
+  int v = *p + err;
+  *p = v < 0 ? 0 : (v > 255 ? 255 : v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb: (h, w, 3) uint8; pal: (n_pal, 3) uint8; allowed: n_pal flags or
+// nullptr; d: dither type 1..9; out: (h, w) int32 palette indices.
+void dither_bmp2dhr(const uint8_t* rgb, int h, int w, const uint8_t* pal,
+                    int n_pal, const uint8_t* allowed, int d, int32_t* out) {
+  const BKernel& K = kB[(d < 1 || d > 9) ? 8 : d - 1];
+  int* buf = new int[(size_t)h * w * 3];
+  for (size_t i = 0; i < (size_t)h * w * 3; ++i) buf[i] = rgb[i];
+
+  int pal_i[64 * 3];
+  int map[64];
+  int n_eff = 0;
+  for (int i = 0; i < n_pal && i < 64; ++i) {
+    if (allowed == nullptr || allowed[i]) {
+      pal_i[n_eff * 3] = pal[i * 3];
+      pal_i[n_eff * 3 + 1] = pal[i * 3 + 1];
+      pal_i[n_eff * 3 + 2] = pal[i * 3 + 2];
+      map[n_eff] = i;
+      ++n_eff;
+    }
+  }
+
+  for (int y = 0; y < h; ++y) {
+    for (int x = 0; x < w; ++x) {
+      int* px = buf + ((size_t)y * w + x) * 3;
+      int best = 0;
+      long bestd = 1L << 60;
+      for (int i = 0; i < n_eff; ++i) {
+        long dr = px[0] - pal_i[i * 3];
+        long dg = px[1] - pal_i[i * 3 + 1];
+        long db = px[2] - pal_i[i * 3 + 2];
+        long dist = dr * dr + dg * dg + db * db;
+        if (dist < bestd) {
+          bestd = dist;
+          best = i;
+        }
+      }
+      out[(size_t)y * w + x] = map[best];
+      int er = px[0] - pal_i[best * 3];
+      int eg = px[1] - pal_i[best * 3 + 1];
+      int eb = px[2] - pal_i[best * 3 + 2];
+      for (int t = 0; t < K.n; ++t) {
+        int ny = y + K.t[t].dy;
+        int nx = x + K.t[t].dx;
+        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
+        int* np_ = buf + ((size_t)ny * w + nx) * 3;
+        sat_add(np_, er * K.t[t].num / K.den);
+        sat_add(np_ + 1, eg * K.t[t].num / K.den);
+        sat_add(np_ + 2, eb * K.t[t].num / K.den);
+      }
+    }
+  }
+  delete[] buf;
+}
+
+}  // extern "C"

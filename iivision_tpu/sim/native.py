@@ -27,7 +27,40 @@ def _dither_lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.dither_bmp2dhr.restype = None
+    lib.dither_bmp2dhr.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     return lib
+
+
+def dither_bmp2dhr(rgb: np.ndarray, palette_rgb: np.ndarray, d: int,
+                   allowed: np.ndarray = None) -> np.ndarray:
+    """bmp2dhr-mechanics error diffusion (raster scan, saturating integer
+    diffusion, Euclidean RGB matching; dither.cpp for provenance notes).
+
+    rgb: (h, w, 3) uint8; palette_rgb: (n, 3) uint8; d: 1..9.
+    Returns (h, w) int32 palette indices (colour codes).
+    """
+    lib = _dither_lib()
+    h, w = rgb.shape[:2]
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette_rgb, dtype=np.uint8)
+    out = np.zeros((h, w), dtype=np.int32)
+    if allowed is not None:
+        allowed = np.ascontiguousarray(allowed, dtype=np.uint8)
+        allowed_p = allowed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    else:
+        allowed_p = None
+    lib.dither_bmp2dhr(
+        rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        pal.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(pal),
+        allowed_p, int(d),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def dither(rgb: np.ndarray, palette_rgb: np.ndarray,

