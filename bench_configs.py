@@ -102,6 +102,130 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
     return out
 
 
+def run_yiq_config(dists, seconds=10.0):
+    """DHGR NTSC with the NTSC-composite YIQ distance basis (the repo's
+    flagship beyond-reference feature), scored under BOTH metric bases."""
+    from iivision_tpu import audio as audio_mod, encoder, quality
+    from iivision_tpu.movie import Movie, get_distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.sim import PlayerVM
+    from iivision_tpu.video_mode import VideoMode
+
+    mode, palette = VideoMode.DHGR, Palette.NTSC
+    dist_yiq = get_distance(mode, palette, "yiq")
+    dist_yiq.store_cost.block_until_ready()
+    dist_win = dists[(mode, palette)]
+    rgb = synth_clip(seconds=seconds)
+    aud = audio_mod.Audio(data=tone(seconds, 14700), rate=14700,
+                          bitrate=14700)
+
+    def build():
+        return Movie(frames_source=rgb, audio_source=aud,
+                     every_n_video_frames=2, video_mode=mode,
+                     palette=palette, k=16, j=4, colour_model="yiq",
+                     dist=dist_yiq)
+
+    m = build()
+    m.transcode("/tmp/bench_cfg_yiq_warm.a2m")  # compile
+    flat, _ = m.encode_ops()
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, mode)
+    if not MEASURE:
+        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, dist_yiq)
+        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, dist_win)
+        return None
+    t0 = time.time()
+    m = build()
+    stats = m.transcode("/tmp/bench_cfg_yiq.a2m")
+    wall = time.time() - t0
+
+    data = open("/tmp/bench_cfg_yiq.a2m", "rb").read()
+    res = PlayerVM().decode(data)
+    assert res.ok, (res.error, res.error_pos)
+    flat, _ = m.encode_ops()
+    rep_y = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode,
+                                        dist_yiq)
+    rep_w = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode,
+                                        dist_win)
+    print(json.dumps({
+        "config": "dhgr_ntsc_yiq",
+        "realtime_x": round(stats["movie_seconds"] / wall, 2),
+        "n_ops": stats["n_ops"],
+        "mean_error_yiq": round(rep_y.mean_error, 2),
+        "final_error_yiq": round(rep_y.final_error, 2),
+        "mean_error_window": round(rep_w.mean_error, 2),
+        "final_error_window": round(rep_w.final_error, 2),
+    }), flush=True)
+
+
+def cli_batch_soak(n_inputs=16):
+    """Production entry point at realistic scale: 16 mixed-length real
+    .mp4 inputs (cv2-encoded) -> one CLI batch invocation with per-movie
+    --stats_json -> every output validated by the player VM."""
+    import glob
+    import shutil
+
+    from iivision_tpu import cli
+    from iivision_tpu.sim import PlayerVM
+
+    try:
+        import cv2
+    except Exception:
+        print(json.dumps({"config": "cli_batch16",
+                          "error": "cv2 unavailable"}), flush=True)
+        return
+    workdir = "/tmp/bench_cli_batch"
+    paths = [os.path.join(workdir, "in_%02d.mp4" % i)
+             for i in range(n_inputs)]
+    if not all(os.path.exists(p) for p in paths):
+        shutil.rmtree(workdir, ignore_errors=True)
+        os.makedirs(workdir)
+        rng = np.random.RandomState(0)
+        base = synth_clip(seconds=10.0)
+        for i, path in enumerate(paths):
+            # mixed lengths 4..10s, distinct content per movie
+            f = int((4.0 + 6.0 * (i / max(n_inputs - 1, 1))) * 30)
+            wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 30.0, (280, 192))
+            roll = int(rng.randint(0, 280))
+            for t in range(f):
+                frame = np.roll(base[t % len(base)], roll + 3 * t, axis=1)
+                wr.write(frame[:, :, ::-1])  # BGR
+            wr.release()
+    for old in glob.glob(os.path.join(workdir, "*.a2m")):
+        os.remove(old)
+    for cache in glob.glob(os.path.join(workdir, "*.iiv_*.npz")):
+        os.remove(cache)  # measure real decode+quantize, not the cache
+    t0 = time.time()
+    cli.main(paths + ["--output", workdir, "--video_mode", "DHGR",
+                      "--palette", "NTSC", "--k", "16", "--j", "4",
+                      "--stats_json", os.path.join(workdir, "stats.json")])
+    wall = time.time() - t0
+    outs = sorted(glob.glob(os.path.join(workdir, "*.a2m")))
+    assert len(outs) == n_inputs, outs
+    vm = PlayerVM()
+    total_secs = 0.0
+    for p in outs:
+        res = vm.decode(open(p, "rb").read())
+        assert res.ok, (p, res.error, res.error_pos)
+        total_secs += res.playback_seconds
+    stats_path = os.path.join(workdir, "stats.json")
+    n_stats = 0
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            n_stats = len(json.load(f))
+    if MEASURE:
+        print(json.dumps({
+            "config": "cli_batch16",
+            "n_inputs": n_inputs,
+            "movie_seconds_total": round(total_secs, 1),
+            "wall_s": round(wall, 2),
+            "batch_realtime_x": round(total_secs / wall, 2),
+            "per_movie_stats": n_stats,
+            "all_vm_valid": True,
+        }), flush=True)
+
+
 def k_sweep(dists):
     from iivision_tpu import audio as audio_mod, encoder, quality
     from iivision_tpu.movie import Movie
@@ -184,6 +308,8 @@ def main():
                14700, False, dists)
     run_config("dhgr_iigs_22500", VideoMode.DHGR, Palette.IIGS,
                22500, False, dists)
+    run_yiq_config(dists)
+    cli_batch_soak()
 
     # 5. batch of 10 movies + LUT regeneration
     t0 = time.time()

@@ -225,6 +225,16 @@ def load_reference_cache(cache_dir: str, mode: VideoMode):
 
 # --- the ingest pipeline ------------------------------------------------------
 
+INGEST_WORKERS = 4  # resize+quantize threads (C++ paths release the GIL)
+
+
+@functools.lru_cache(None)
+def _ingest_pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(INGEST_WORKERS)
+
+
 def ingest_stream_array(source: np.ndarray, mode: VideoMode,
                         palette: Palette, every_n_video_frames: int = 1,
                         batch: Optional[int] = None):
@@ -232,56 +242,42 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
     in-memory (F, H, W, 3) source - the producer side of the streaming
     transcode pipeline (encoder.encode_movie_streaming).
 
-    Resize + quantize run in a producer THREAD: the consumer's device
-    round-trips block on the (GIL-releasing) tunnel I/O while the
-    producer's C++ quantize (also GIL-releasing) fills the queue, so host
-    ingestion genuinely overlaps device encode even on one core - the
-    remote backend's dispatches are synchronous, so async-dispatch
-    overlap is not available.
+    Resize + quantize fan out over a small thread pool (the C++ resize,
+    LUT quantize and packing all release the GIL), yielded strictly in
+    order through a bounded sliding window of futures - host ingestion
+    runs ~INGEST_WORKERS-wide AND overlaps the consumer's device
+    round-trips, while in-flight memory stays capped for hour-scale
+    movies.  Short movies shrink the batch so all workers engage.
     """
     sel = source[::every_n_video_frames]
     b = batch or DECODE_BATCH
-    q = queue.Queue(maxsize=QUEUE_BATCHES)
-    stop = threading.Event()
+    if len(sel) <= 2 * INGEST_WORKERS * b:
+        b = max(8, -(-len(sel) // (2 * INGEST_WORKERS)))
+    pool = _ingest_pool()
 
-    def put(item):
-        # stop-aware: if the consumer abandoned the generator with the
-        # queue full, the producer must exit instead of blocking forever
-        # holding its batch buffers (applies to the terminal "done"/
-        # "error" sentinels too)
-        while not stop.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
+    def job(i):
+        chunk = [np.asarray(f, np.uint8) for f in sel[i:i + b]]
+        return _quantize_batch(_resize_stack(chunk), mode, palette,
+                               "ordered")
 
-    def worker():
-        try:
-            for i in range(0, len(sel), b):
-                if stop.is_set():
-                    return
-                chunk = [np.asarray(f, np.uint8) for f in sel[i:i + b]]
-                if not put(("batch", _quantize_batch(
-                        _resize_stack(chunk), mode, palette, "ordered"))):
-                    return
-            put(("done", None))
-        except BaseException as e:
-            put(("error", e))
-
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    from collections import deque
+    starts = iter(range(0, len(sel), b))
+    futs = deque()
     try:
-        while True:
-            kind, payload = q.get()
-            if kind == "error":
-                raise payload
-            if kind == "done":
-                return
-            yield payload
+        for _ in range(QUEUE_BATCHES + INGEST_WORKERS):
+            i = next(starts, None)
+            if i is None:
+                break
+            futs.append(pool.submit(job, i))
+        while futs:
+            out = futs.popleft().result()
+            i = next(starts, None)
+            if i is not None:
+                futs.append(pool.submit(job, i))
+            yield out
     finally:
-        stop.set()
+        for f in futs:  # abandoned mid-stream: drop queued work
+            f.cancel()
 
 
 # Quantizer-behaviour version, folded into the cache tag: v2 = the default
