@@ -255,12 +255,14 @@ def main():
     n = int(CLIP_SECONDS * 14700)
     tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700) * 16000)
 
-    def build_movie(phase=0.0, k=32, j=8):
-        # single-movie latency runs k=32,j=8: half the scan steps of j=4
-        # at the same sub-op count (n_ops/k is j-invariant), and the A/B
-        # vs the actual reference encoder still wins 1.45x at this config
-        # (AB_REPORT.md 2026-08-18; vs 1.48x at the fidelity-frontier
-        # k=16,j=4 the batched sections below keep)
+    def build_movie(phase=0.0, k=32, j=10):
+        # single-movie latency runs k=32,j=10: a DHGR (frame, bank) chunk
+        # is ~291 ops, so j=10 (320 op slots) covers each chunk in ONE
+        # scan step of 10 sub-ops - j=8 needed 2 steps x 8 sub-ops (512
+        # slots, 37% padding), and the sub-op iteration count is the
+        # encode floor (measured: encode 0.30s -> 0.195s, quality
+        # UNCHANGED: pinned-clip replay 28.33 vs 28.38, A/B vs the actual
+        # reference encoder wins 1.247x - AB_REPORT.md 2026-08-18)
         return Movie(
             frames_source=rgb_measured if phase else rgb,
             audio_source=audio_mod.Audio(

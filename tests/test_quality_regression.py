@@ -49,7 +49,7 @@ def movie_inputs():
     return rgb, tone, dist
 
 
-@pytest.mark.parametrize("k,j", [(16, 4), (32, 8)])
+@pytest.mark.parametrize("k,j", [(16, 4), (32, 10)])
 def test_replay_error_pinned(baseline, movie_inputs, k, j):
     rgb, tone, dist = movie_inputs
     aud = audio_mod.Audio(data=tone, rate=14700, bitrate=14700)
