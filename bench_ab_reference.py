@@ -254,6 +254,7 @@ def _report_parity(args, flat_ours, flat_ref, plan, lanes_tgt, mode, dist,
                                           dist)
     summary = {
         "mode": args.mode,
+        "palette": args.palette,
         "clip": args.clip,
         "parity": True,
         "n_ops": int(n),
@@ -270,10 +271,10 @@ def _report_parity(args, flat_ours, flat_ref, plan, lanes_tgt, mode, dist,
         summary["ref_op_at_divergence"] = ref_ops[first].tolist()
 
     with open(args.report, "a") as f:
-        f.write("\n## %s greedy-parity (pinned RNG, %.1fs '%s' clip, "
+        f.write("\n## %s/%s greedy-parity (pinned RNG, %.1fs '%s' clip, "
                 "k=1, j=1, every_n=%d) — %s\n\n"
-                % (args.mode, movie_seconds, args.clip, args.every_n,
-                   time.strftime("%Y-%m-%d %H:%M")))
+                % (args.mode, args.palette, movie_seconds, args.clip,
+                   args.every_n, time.strftime("%Y-%m-%d %H:%M")))
         f.write("Reference encoder run with all tie-break nonces pinned "
                 "to zero (video.py:178, 265, 291); ours is the "
                 "reference-order K=1 emulation (encoder_parity.py: stale "
@@ -376,6 +377,7 @@ CLIP_FAMILIES = {"bars": synth_clip, "noise": synth_clip_noise,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="DHGR", choices=["DHGR", "HGR"])
+    ap.add_argument("--palette", default="NTSC", choices=["NTSC", "IIGS"])
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--j", type=int, default=1)
@@ -409,7 +411,7 @@ def main(argv=None):
     from iivision_tpu.video_mode import VideoMode
 
     mode = VideoMode[args.mode]
-    palette = Palette.NTSC
+    palette = Palette[args.palette]
     fps, tps = 30.0, 14700.0
 
     # shared targets: one quantization, both encoders
