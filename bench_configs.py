@@ -41,10 +41,25 @@ def tone(seconds, bitrate):
 
 
 def run_config(name, mode, palette, bitrate, silent, dists, k=16,
-               seconds=10.0):
+               seconds=10.0, colour_model="window", replay_bases=None):
+    """One Movie config: warm-child compile, measured transcode, VM
+    validation, replay scoring.
+
+    colour_model selects the distance basis the ENCODER optimises;
+    replay_bases maps metric-name suffixes to distance models the stream
+    is SCORED under (default: {"": the encoding basis}).
+    """
     from iivision_tpu import audio as audio_mod, encoder, quality
-    from iivision_tpu.movie import Movie
+    from iivision_tpu.movie import Movie, get_distance
     from iivision_tpu.sim import PlayerVM
+
+    if colour_model == "window":
+        dist = dists[(mode, palette)]
+    else:
+        dist = get_distance(mode, palette, colour_model)
+        dist.store_cost.block_until_ready()
+    if replay_bases is None:
+        replay_bases = {"": dist}
 
     rgb = synth_clip(seconds=seconds)
     if silent:
@@ -59,8 +74,13 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
     def build():
         return Movie(frames_source=rgb, audio_source=aud,
                      every_n_video_frames=2, video_mode=mode,
-                     palette=palette, k=k, j=4,
-                     dist=dists[(mode, palette)])
+                     palette=palette, k=k, j=4, colour_model=colour_model,
+                     dist=dist)
+
+    def replay(m, flat, lanes_tgt):
+        return {sfx: quality.replay_frame_errors(
+            flat, m.plan, lanes_tgt, mode, d)
+            for sfx, d in replay_bases.items()}
 
     m = build()
     m.transcode("/tmp/bench_cfg_warm.a2m")  # compile
@@ -70,7 +90,7 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
         flat, _ = m.encode_ops()
         lanes_tgt, _ = encoder.prepare_targets(
             m.frames.targets_main, m.frames.targets_aux, mode)
-        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, m.dist)
+        replay(m, flat, lanes_tgt)
         return None
     t0 = time.time()
     m = build()
@@ -86,7 +106,7 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
     flat, _ = m.encode_ops()
     lanes_tgt, _ = encoder.prepare_targets(
         m.frames.targets_main, m.frames.targets_aux, mode)
-    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, m.dist)
+    reps = replay(m, flat, lanes_tgt)
 
     out = {
         "config": name,
@@ -95,67 +115,27 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
         "n_ops": stats["n_ops"],
         "stream_bytes": len(data),
         "playback_s": round(res.playback_seconds, 2),
-        "mean_error": round(rep.mean_error, 2),
-        "final_error": round(rep.final_error, 2),
     }
+    for sfx, rep in reps.items():
+        out["mean_error" + sfx] = round(rep.mean_error, 2)
+        out["final_error" + sfx] = round(rep.final_error, 2)
     print(json.dumps(out), flush=True)
     return out
 
 
-def run_yiq_config(dists, seconds=10.0):
+def run_yiq_config(dists):
     """DHGR NTSC with the NTSC-composite YIQ distance basis (the repo's
     flagship beyond-reference feature), scored under BOTH metric bases."""
-    from iivision_tpu import audio as audio_mod, encoder, quality
-    from iivision_tpu.movie import Movie, get_distance
+    from iivision_tpu.movie import get_distance
     from iivision_tpu.palettes import Palette
-    from iivision_tpu.sim import PlayerVM
     from iivision_tpu.video_mode import VideoMode
 
     mode, palette = VideoMode.DHGR, Palette.NTSC
-    dist_yiq = get_distance(mode, palette, "yiq")
-    dist_yiq.store_cost.block_until_ready()
-    dist_win = dists[(mode, palette)]
-    rgb = synth_clip(seconds=seconds)
-    aud = audio_mod.Audio(data=tone(seconds, 14700), rate=14700,
-                          bitrate=14700)
-
-    def build():
-        return Movie(frames_source=rgb, audio_source=aud,
-                     every_n_video_frames=2, video_mode=mode,
-                     palette=palette, k=16, j=4, colour_model="yiq",
-                     dist=dist_yiq)
-
-    m = build()
-    m.transcode("/tmp/bench_cfg_yiq_warm.a2m")  # compile
-    flat, _ = m.encode_ops()
-    lanes_tgt, _ = encoder.prepare_targets(
-        m.frames.targets_main, m.frames.targets_aux, mode)
-    if not MEASURE:
-        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, dist_yiq)
-        quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, dist_win)
-        return None
-    t0 = time.time()
-    m = build()
-    stats = m.transcode("/tmp/bench_cfg_yiq.a2m")
-    wall = time.time() - t0
-
-    data = open("/tmp/bench_cfg_yiq.a2m", "rb").read()
-    res = PlayerVM().decode(data)
-    assert res.ok, (res.error, res.error_pos)
-    flat, _ = m.encode_ops()
-    rep_y = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode,
-                                        dist_yiq)
-    rep_w = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode,
-                                        dist_win)
-    print(json.dumps({
-        "config": "dhgr_ntsc_yiq",
-        "realtime_x": round(stats["movie_seconds"] / wall, 2),
-        "n_ops": stats["n_ops"],
-        "mean_error_yiq": round(rep_y.mean_error, 2),
-        "final_error_yiq": round(rep_y.final_error, 2),
-        "mean_error_window": round(rep_w.mean_error, 2),
-        "final_error_window": round(rep_w.final_error, 2),
-    }), flush=True)
+    return run_config(
+        "dhgr_ntsc_yiq", mode, palette, 14700, False, dists,
+        colour_model="yiq",
+        replay_bases={"_yiq": get_distance(mode, palette, "yiq"),
+                      "_window": dists[(mode, palette)]})
 
 
 def cli_batch_soak(n_inputs=16):

@@ -22,6 +22,7 @@ everywhere with ``IIVISION_NO_COMPILE_CACHE=1``.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import threading
@@ -70,6 +71,31 @@ def _cache_dir() -> str:
         "iivision_tpu", "export_cache")
 
 
+@functools.lru_cache(None)
+def _package_fingerprint() -> str:
+    """Hash of every module in this package (computed once per process -
+    each aot_jit factory constructs an _AotFn, and re-reading ~16k LOC
+    per construction was pure waste; the package hash is process-invariant
+    and already covers each traced function's defining module)."""
+    h = hashlib.sha256()
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = sorted(
+            f for f in os.listdir(pkg_dir) if f.endswith(".py"))
+        for name in names:
+            with open(os.path.join(pkg_dir, name), "rb") as f:
+                h.update(f.read())
+        for sub in ("ops", "parallel", "stream"):
+            sdir = os.path.join(pkg_dir, sub)
+            for name in sorted(
+                    f for f in os.listdir(sdir) if f.endswith(".py")):
+                with open(os.path.join(sdir, name), "rb") as f:
+                    h.update(f.read())
+    except OSError:
+        pass
+    return h.hexdigest()
+
+
 def _code_fingerprint(fn) -> str:
     """A fingerprint that changes whenever the traced program might.
 
@@ -88,21 +114,7 @@ def _code_fingerprint(fn) -> str:
         h.update(inspect.getsource(fn).encode())
     except (OSError, TypeError):
         pass
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    try:
-        names = sorted(
-            f for f in os.listdir(pkg_dir) if f.endswith(".py"))
-        for name in names:
-            with open(os.path.join(pkg_dir, name), "rb") as f:
-                h.update(f.read())
-        for sub in ("ops", "parallel", "stream"):
-            sdir = os.path.join(pkg_dir, sub)
-            for name in sorted(
-                    f for f in os.listdir(sdir) if f.endswith(".py")):
-                with open(os.path.join(sdir, name), "rb") as f:
-                    h.update(f.read())
-    except OSError:
-        pass
+    h.update(_package_fingerprint().encode())
     return h.hexdigest()[:16]
 
 

@@ -96,19 +96,26 @@ def decode_audio_chunks(filename: str,
         return
     if shutil.which("ffmpeg") is None:
         raise RuntimeError("ffmpeg not available for %s" % filename)
-    proc = subprocess.Popen(
-        ["ffmpeg", "-v", "error", "-i", filename, "-f", "s16le",
-         "-ac", "1", "-ar", "44100", "-"],
-        stdout=subprocess.PIPE)
+    cmd = ["ffmpeg", "-v", "error", "-i", filename, "-f", "s16le",
+           "-ac", "1", "-ar", "44100", "-"]
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    ok = False
     try:
         while True:
             raw = proc.stdout.read(chunk_samples * 2)
             if not raw:
                 break
             yield np.frombuffer(raw, np.int16).astype(np.float32)
+        ok = True
     finally:
         proc.stdout.close()
-        proc.wait()
+        rc = proc.wait()
+        # a failed decode must raise like the one-shot path does, not
+        # silently truncate the level stream (only when the generator ran
+        # to completion - an abandoned generator shouldn't mask the
+        # caller's own exception)
+        if ok and rc != 0:
+            raise subprocess.CalledProcessError(rc, cmd)
 
 
 def probe_audio_rate(filename: str) -> int:
@@ -144,7 +151,12 @@ import functools
 @functools.lru_cache(None)
 def _decimation_taps(ratio: int, per_branch: int = 48) -> np.ndarray:
     """Windowed-sinc lowpass for decimation by `ratio` (float32, odd length,
-    DC gain 1, ~90dB stopband via Kaiser beta 8.6)."""
+    DC gain 1, ~90dB stopband via Kaiser beta 8.6).  ratio 1 is the
+    identity (source already at the target rate - e.g. the CLI's silent
+    14.7kHz fallback track - must stream as a passthrough, not crash
+    firwin with cutoff 1.0)."""
+    if ratio == 1:
+        return np.ones(1, np.float32)
     from scipy.signal import firwin
 
     taps = firwin(per_branch * ratio + 1, 1.0 / ratio,

@@ -251,7 +251,9 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
     """
     sel = source[::every_n_video_frames]
     b = batch or DECODE_BATCH
-    if len(sel) <= 2 * INGEST_WORKERS * b:
+    if batch is None and len(sel) <= 2 * INGEST_WORKERS * b:
+        # short movies shrink the DEFAULT batch so all workers engage;
+        # an explicit batch request is honoured as-is
         b = max(8, -(-len(sel) // (2 * INGEST_WORKERS)))
     pool = _ingest_pool()
 

@@ -228,10 +228,12 @@ def quantize_error_diffusion(rgb: np.ndarray, palette: Palette,
     from iivision_tpu.sim import native
 
     if kernel.startswith("d") and kernel[1:].isdigit():
+        d = int(kernel[1:])
+        if not 1 <= d <= 9:
+            raise ValueError("unknown bmp2dhr dither %r (d1..d9)" % kernel)
         return native.dither_bmp2dhr(
             np.ascontiguousarray(np.clip(rgb, 0, 255), dtype=np.uint8),
-            palettes.palette_rgb_array(palette).astype(np.uint8),
-            int(kernel[1:]))
+            palettes.palette_rgb_array(palette).astype(np.uint8), d)
     return native.dither(np.ascontiguousarray(rgb, dtype=np.float32),
                          palettes.palette_rgb_array(palette), kernel)
 

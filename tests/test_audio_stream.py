@@ -72,6 +72,24 @@ def test_streaming_auto_threshold_and_no_materialization():
     assert long.n_ticks == len(long.levels())
 
 
+def test_ratio_one_streams_as_passthrough():
+    """A source already at the target rate (e.g. the CLI's silent
+    14.7kHz fallback for long movies) must stream as an exact
+    passthrough - found crashing firwin with cutoff 1.0 on the 20-min
+    soak."""
+    n = audio_mod.STREAM_AUTO_SAMPLES + 100
+    x = np.zeros(n, np.float32)
+    x[::37] = 12000.0
+    a = Audio(data=x, rate=14700, bitrate=14700, stream=True)
+    assert a._streaming
+    lv = a.levels()
+    assert len(lv) == n
+    ref = Audio(data=x[:14700], rate=14700, bitrate=14700, stream=False,
+                normalization=a.normalization)
+    assert np.array_equal(lv[:14700], ref.levels())
+    assert np.array_equal(resample_polyphase(x[:1000], 1), x[:1000])
+
+
 def test_non_integral_ratio_keeps_fft_path():
     x = _sig(44100 * 2)
     a = Audio(data=x, rate=44100, bitrate=22500)  # 1.96:1, not integral
