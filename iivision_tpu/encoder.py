@@ -304,17 +304,50 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         return spec.bank_lanes(False)
 
     def diff_bank(cur_lanes, tgt_lanes, bank, sub):
-        """On-the-fly DP diff of the active bank, (32, 256) int32."""
-        ds = [distance.dist_lane_pairs(
-            cur_lanes[..., l], tgt_lanes[..., l], mode, l, sub)
-            for l in range(n_lanes)]
-        if mode == VideoMode.DHGR:
-            dm = screen.interleave_bank_lanes(ds[1], ds[3])
-            da = screen.interleave_bank_lanes(ds[0], ds[2])
-            d = jnp.where(bank == 1, da, dm)
+        """On-the-fly DP diff of the active bank, (32, 256) int32.
+
+        The per-lane pixel/window extraction is cheap bit-twiddling; the
+        alignment DP / cost contraction behind it is the expensive half of
+        the chunk-start recompute.  So extract all lanes, SELECT the
+        active bank's pair, and run the expensive part on two lanes
+        instead of four (computing all four and where-ing the results
+        doubled the recompute - measured at 60% of the batched encode
+        wall).  Selection is by-value, so results are bit-identical.
+        """
+        if mode != VideoMode.DHGR:
+            ds = [distance.dist_lane_pairs(
+                cur_lanes[..., l], tgt_lanes[..., l], mode, l, sub)
+                for l in range(n_lanes)]
+            return screen.interleave_bank_lanes(
+                ds[0], ds[1]).astype(jnp.int32)
+        is_aux = bank == 1
+        if getattr(sub, "ndim", 2) == 4:  # NTSC-composite YIQ basis
+            from iivision_tpu.ops import yiq
+
+            wc = [yiq.lane_windows(cur_lanes[..., l], mode, l)
+                  for l in range(4)]
+            wt = [yiq.lane_windows(tgt_lanes[..., l], mode, l)
+                  for l in range(4)]
+            de = distance.dist_window_sums(
+                jnp.where(is_aux, wc[0], wc[1]),
+                jnp.where(is_aux, wt[0], wt[1]),
+                jnp.where(is_aux, sub[0], sub[1]))
+            do = distance.dist_window_sums(
+                jnp.where(is_aux, wc[2], wc[3]),
+                jnp.where(is_aux, wt[2], wt[3]),
+                jnp.where(is_aux, sub[2], sub[3]))
         else:
-            d = screen.interleave_bank_lanes(ds[0], ds[1])
-        return d.astype(jnp.int32)
+            pc = [distance.lane_pixels(cur_lanes[..., l], mode, l)
+                  for l in range(4)]
+            pt = [distance.lane_pixels(tgt_lanes[..., l], mode, l)
+                  for l in range(4)]
+            de = distance.dist_pixel_pairs(
+                jnp.where(is_aux, pc[0], pc[1]),
+                jnp.where(is_aux, pt[0], pt[1]), sub)
+            do = distance.dist_pixel_pairs(
+                jnp.where(is_aux, pc[2], pc[3]),
+                jnp.where(is_aux, pt[2], pt[3]), sub)
+        return screen.interleave_bank_lanes(de, do).astype(jnp.int32)
 
     def build_sc(tgt_lanes, store_cost16, bank):
         """Active-bank cost slab (32, 256 offsets, C) int16 via row gathers.
@@ -322,21 +355,29 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         sc[p, o, c] = cost of storing content c at offset o of page p
         relative to the target frame.  Contiguous-row gathers from the small
         int16 store-cost table outperform one-hot MXU selection here.
+        The per-bank lane pair is selected by VALUE (where on the lane
+        values + dynamic slice of the per-lane tables): a cond on a traced
+        bank executes BOTH branches under vmap, doubling the slab cost in
+        batched encodes.
         """
-        def lane_sc(l):
-            vals = tgt_lanes[..., l].reshape(-1)  # (4096,)
-            return jnp.take(store_cost16[l], vals, axis=0)  # (4096, C)
-
-        def for_bank(b):
-            le, lo = bank_lane_pair(b)
-            se = lane_sc(le).reshape(32, 128, C)
-            so = lane_sc(lo).reshape(32, 128, C)
-            return jnp.stack([se, so], axis=2).reshape(32, 256, C)
+        def lane_sc(tab, vals):
+            return jnp.take(tab, vals.reshape(-1),
+                            axis=0).reshape(32, 128, C)
 
         if n_banks == 1:
-            return for_bank(0)
-        return jax.lax.cond(bank == 1, lambda: for_bank(1),
-                            lambda: for_bank(0))
+            le, lo = bank_lane_pair(0)
+            se = lane_sc(store_cost16[le], tgt_lanes[..., le])
+            so = lane_sc(store_cost16[lo], tgt_lanes[..., lo])
+            return jnp.stack([se, so], axis=2).reshape(32, 256, C)
+        is_aux = bank == 1
+        # DHGR lane pairs: aux (0, 2), main (1, 3) (screen spec)
+        se = lane_sc(jnp.where(is_aux, store_cost16[0], store_cost16[1]),
+                     jnp.where(is_aux, tgt_lanes[..., 0],
+                               tgt_lanes[..., 1]))
+        so = lane_sc(jnp.where(is_aux, store_cost16[2], store_cost16[3]),
+                     jnp.where(is_aux, tgt_lanes[..., 2],
+                               tgt_lanes[..., 3]))
+        return jnp.stack([se, so], axis=2).reshape(32, 256, C)
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
                     step_frame, step_bank, step_recompute,
