@@ -47,7 +47,8 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
 
     colour_model selects the distance basis the ENCODER optimises;
     replay_bases maps metric-name suffixes to distance models the stream
-    is SCORED under (default: {"": the encoding basis}).
+    is SCORED under (default: {"": the encoding basis}; a None value
+    means "the encoding basis" - avoids building it twice).
     """
     from iivision_tpu import audio as audio_mod, encoder, quality
     from iivision_tpu.movie import Movie, get_distance
@@ -60,6 +61,8 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
         dist.store_cost.block_until_ready()
     if replay_bases is None:
         replay_bases = {"": dist}
+    replay_bases = {sfx: (dist if d is None else d)
+                    for sfx, d in replay_bases.items()}
 
     rgb = synth_clip(seconds=seconds)
     if silent:
@@ -126,7 +129,6 @@ def run_config(name, mode, palette, bitrate, silent, dists, k=16,
 def run_yiq_config(dists):
     """DHGR NTSC with the NTSC-composite YIQ distance basis (the repo's
     flagship beyond-reference feature), scored under BOTH metric bases."""
-    from iivision_tpu.movie import get_distance
     from iivision_tpu.palettes import Palette
     from iivision_tpu.video_mode import VideoMode
 
@@ -134,7 +136,7 @@ def run_yiq_config(dists):
     return run_config(
         "dhgr_ntsc_yiq", mode, palette, 14700, False, dists,
         colour_model="yiq",
-        replay_bases={"_yiq": get_distance(mode, palette, "yiq"),
+        replay_bases={"_yiq": None,  # = the encoding (yiq) basis
                       "_window": dists[(mode, palette)]})
 
 

@@ -321,6 +321,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             return screen.interleave_bank_lanes(
                 ds[0], ds[1]).astype(jnp.int32)
         is_aux = bank == 1
+        (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
         if getattr(sub, "ndim", 2) == 4:  # NTSC-composite YIQ basis
             from iivision_tpu.ops import yiq
 
@@ -329,24 +330,24 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             wt = [yiq.lane_windows(tgt_lanes[..., l], mode, l)
                   for l in range(4)]
             de = distance.dist_window_sums(
-                jnp.where(is_aux, wc[0], wc[1]),
-                jnp.where(is_aux, wt[0], wt[1]),
-                jnp.where(is_aux, sub[0], sub[1]))
+                jnp.where(is_aux, wc[ae], wc[me]),
+                jnp.where(is_aux, wt[ae], wt[me]),
+                jnp.where(is_aux, sub[ae], sub[me]))
             do = distance.dist_window_sums(
-                jnp.where(is_aux, wc[2], wc[3]),
-                jnp.where(is_aux, wt[2], wt[3]),
-                jnp.where(is_aux, sub[2], sub[3]))
+                jnp.where(is_aux, wc[ao], wc[mo]),
+                jnp.where(is_aux, wt[ao], wt[mo]),
+                jnp.where(is_aux, sub[ao], sub[mo]))
         else:
             pc = [distance.lane_pixels(cur_lanes[..., l], mode, l)
                   for l in range(4)]
             pt = [distance.lane_pixels(tgt_lanes[..., l], mode, l)
                   for l in range(4)]
             de = distance.dist_pixel_pairs(
-                jnp.where(is_aux, pc[0], pc[1]),
-                jnp.where(is_aux, pt[0], pt[1]), sub)
+                jnp.where(is_aux, pc[ae], pc[me]),
+                jnp.where(is_aux, pt[ae], pt[me]), sub)
             do = distance.dist_pixel_pairs(
-                jnp.where(is_aux, pc[2], pc[3]),
-                jnp.where(is_aux, pt[2], pt[3]), sub)
+                jnp.where(is_aux, pc[ao], pc[mo]),
+                jnp.where(is_aux, pt[ao], pt[mo]), sub)
         return screen.interleave_bank_lanes(de, do).astype(jnp.int32)
 
     def build_sc(tgt_lanes, store_cost16, bank):
@@ -370,13 +371,13 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             so = lane_sc(store_cost16[lo], tgt_lanes[..., lo])
             return jnp.stack([se, so], axis=2).reshape(32, 256, C)
         is_aux = bank == 1
-        # DHGR lane pairs: aux (0, 2), main (1, 3) (screen spec)
-        se = lane_sc(jnp.where(is_aux, store_cost16[0], store_cost16[1]),
-                     jnp.where(is_aux, tgt_lanes[..., 0],
-                               tgt_lanes[..., 1]))
-        so = lane_sc(jnp.where(is_aux, store_cost16[2], store_cost16[3]),
-                     jnp.where(is_aux, tgt_lanes[..., 2],
-                               tgt_lanes[..., 3]))
+        (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
+        se = lane_sc(jnp.where(is_aux, store_cost16[ae], store_cost16[me]),
+                     jnp.where(is_aux, tgt_lanes[..., ae],
+                               tgt_lanes[..., me]))
+        so = lane_sc(jnp.where(is_aux, store_cost16[ao], store_cost16[mo]),
+                     jnp.where(is_aux, tgt_lanes[..., ao],
+                               tgt_lanes[..., mo]))
         return jnp.stack([se, so], axis=2).reshape(32, 256, C)
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,

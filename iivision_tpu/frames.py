@@ -250,6 +250,8 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
     movies.  Short movies shrink the batch so all workers engage.
     """
     sel = source[::every_n_video_frames]
+    if batch is not None and batch <= 0:
+        raise ValueError("batch must be positive, got %r" % (batch,))
     b = batch or DECODE_BATCH
     if batch is None and len(sel) <= 2 * INGEST_WORKERS * b:
         # short movies shrink the DEFAULT batch so all workers engage;
