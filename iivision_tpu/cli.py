@@ -71,7 +71,32 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stats_json", default=None,
                         help="Write per-movie transcode stats (stage "
                              "timings, op/byte counts) to this JSON file.")
+    parser.add_argument("--mesh", default=None,
+                        help="Shard batch encodes over a device mesh: a "
+                             "device count or 'auto' (all devices).  The "
+                             "effective size is clamped to the largest "
+                             "divisor of each group's batch size; outputs "
+                             "are bit-identical to unsharded encodes.")
     return parser
+
+
+def _group_mesh(arg, batch_size: int):
+    """Mesh for one batch group under --mesh, or None.
+
+    The batch axis must divide evenly across devices, so the requested
+    count is clamped to the largest divisor of the group size."""
+    if arg is None:
+        return None
+    import jax
+
+    from iivision_tpu.parallel import mesh as pmesh
+
+    want = len(jax.devices()) if arg == "auto" else int(arg)
+    n = max(d for d in range(1, min(want, batch_size) + 1)
+            if batch_size % d == 0)
+    if n <= 1:
+        return None
+    return pmesh.make_mesh(n)
 
 
 def _default_out(path: str) -> str:
@@ -140,7 +165,8 @@ def transcode_batch(args):
             dist, movies, mode, rate, float(args.audio_bitrate),
             every_n_video_frames=args.every_n_video_frames,
             k=args.k, j=args.j,
-            seeds=[args.seed + i for i in idxs])
+            seeds=[args.seed + i for i in idxs],
+            mesh=_group_mesh(args.mesh, len(movies)))
         for flat, i in zip(flats, idxs):
             path, fr, aud, out = ingested[i]
             levels = np.asarray(aud.levels())[:len(flat)]

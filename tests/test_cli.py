@@ -108,3 +108,33 @@ def test_cli_batch_groups_by_frame_rate(tmp_path):
         n_ops[name] = res.n_ops
     # same frame count at half the rate = twice the movie duration
     assert n_ops["fps15"] > 1.8 * n_ops["fps30"]
+
+
+def test_cli_batch_mesh_sharded_bit_identical(tmp_path):
+    """--mesh shards the batch over the (8 virtual CPU) device mesh and
+    the outputs are bit-identical to the unsharded batch encode."""
+    clips = [save_clip(tmp_path / ("m%d.npz" % i), 4 + (i % 2))
+             for i in range(4)]
+    base_args = ["--k", "8", "--j", "2", "--every_n_video_frames", "2",
+                 "--seed", "3"]
+    out_plain = tmp_path / "plain"
+    out_mesh = tmp_path / "mesh"
+    cli.main(clips + ["--output", str(out_plain)] + base_args)
+    cli.main(clips + ["--output", str(out_mesh), "--mesh", "4"]
+             + base_args)
+    for i in range(4):
+        name = "m%d.a2m" % i
+        a = open(str(out_plain / name), "rb").read()
+        b = open(str(out_mesh / name), "rb").read()
+        assert a == b, name
+        assert PlayerVM().decode(b).ok
+
+
+def test_cli_mesh_clamps_to_batch_divisor():
+    # 3 movies on an 8-device mesh: largest divisor <= 8 is 3
+    m = cli._group_mesh("auto", 3)
+    assert m is not None and m.devices.size == 3
+    # prime batch of 1: no mesh
+    assert cli._group_mesh("auto", 1) is None
+    assert cli._group_mesh(None, 4) is None
+    assert cli._group_mesh("2", 4).devices.size == 2
