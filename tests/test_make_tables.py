@@ -1,0 +1,29 @@
+"""make_tables CLI (the artifact-generation entry point README documents)."""
+
+import glob
+import os
+
+import numpy as np
+
+
+def test_make_tables_store_cost_roundtrip(tmp_path):
+    from iivision_tpu import make_tables
+    from iivision_tpu.ops import distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.video_mode import VideoMode
+
+    out = str(tmp_path)
+    make_tables.main(["--data_dir", out, "--modes", "DHGR",
+                      "--palettes", "NTSC", "--what", "store_cost",
+                      "--models", "window"])
+    files = glob.glob(os.path.join(out, "store_cost", "*.npz"))
+    assert len(files) == 1, files
+    path = distance.store_cost_path(VideoMode.DHGR, Palette.NTSC,
+                                    "window", out)
+    assert os.path.exists(path)
+    saved = np.load(path)["cost"]
+    # the generated artifact must equal the live distance model
+    live = np.asarray(distance.ComputedDistance(
+        VideoMode.DHGR, Palette.NTSC).store_cost)
+    assert saved.shape == live.shape
+    assert np.array_equal(saved.astype(np.float32), live.astype(np.float32))
