@@ -235,6 +235,26 @@ def main():
     import jax
     log("backend:", jax.default_backend(), jax.devices())
 
+    # environment health line: the shared host/tunnel/chip has slow phases
+    # (same code measured 203x in one hour and 144x in another); these two
+    # numbers let a reader attribute a slow capture to the environment
+    if measure:
+        import jax.numpy as jnp
+
+        probe = jax.jit(lambda x: x * 2 + 1)
+        np.asarray(probe(jnp.arange(8) + 0))  # compile
+        t0 = time.time()
+        for i in range(1, 21):
+            np.asarray(probe(jnp.arange(8) + i))  # distinct: no dedup
+        disp_ms = (time.time() - t0) / 20 * 1e3
+        big = jnp.arange(2 * 1024 * 1024, dtype=jnp.int32)  # 8MB
+        big = (big + 1).block_until_ready()
+        t0 = time.time()
+        np.asarray(big)
+        d2h = 8.0 / max(time.time() - t0, 1e-9)
+        log("env health: dispatch ~%.1f ms, d2h ~%.0f MB/s "
+            "(healthy: <1ms, >20MB/s)" % (disp_ms, d2h))
+
     # --- distance model + LUT-artifact generation timing (north star #2) ---
     t0 = time.time()
     dist = get_distance(VideoMode.DHGR, Palette.NTSC)
