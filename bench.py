@@ -125,6 +125,34 @@ def preflight(log, max_wait_s=480.0):
     return False, detail
 
 
+def log_env_health(log):
+    """Measure per-dispatch round-trip latency + d2h bandwidth.
+
+    The shared host/tunnel/chip has hours-long slow phases (measured
+    dispatch 0.3ms-30ms across a day); this line makes a slow capture
+    attributable to the environment.  Returns (dispatch_ms, d2h_MBps).
+    """
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: x * 2 + 1)
+    np.asarray(probe(jnp.arange(8) + 0))  # compile
+    t0 = _t.time()
+    for i in range(1, 21):
+        np.asarray(probe(jnp.arange(8) + i))  # distinct: no dedup
+    disp_ms = (_t.time() - t0) / 20 * 1e3
+    big = (jnp.arange(2 * 1024 * 1024, dtype=jnp.int32)
+           + 1).block_until_ready()  # 8MB
+    t0 = _t.time()
+    np.asarray(big)
+    d2h = 8.0 / max(_t.time() - t0, 1e-9)
+    log("env health: dispatch ~%.1f ms, d2h ~%.0f MB/s "
+        "(healthy: <1ms, >20MB/s)" % (disp_ms, d2h))
+    return disp_ms, d2h
+
+
 def synth_clip(seconds=CLIP_SECONDS, fps=FPS, w=SRC_W, h=SRC_H, phase=0.0):
     F = int(seconds * fps)
     t = np.linspace(0, 1, F, dtype=np.float32)[:, None, None]
@@ -239,21 +267,7 @@ def main():
     # (same code measured 203x in one hour and 144x in another); these two
     # numbers let a reader attribute a slow capture to the environment
     if measure:
-        import jax.numpy as jnp
-
-        probe = jax.jit(lambda x: x * 2 + 1)
-        np.asarray(probe(jnp.arange(8) + 0))  # compile
-        t0 = time.time()
-        for i in range(1, 21):
-            np.asarray(probe(jnp.arange(8) + i))  # distinct: no dedup
-        disp_ms = (time.time() - t0) / 20 * 1e3
-        big = jnp.arange(2 * 1024 * 1024, dtype=jnp.int32)  # 8MB
-        big = (big + 1).block_until_ready()
-        t0 = time.time()
-        np.asarray(big)
-        d2h = 8.0 / max(time.time() - t0, 1e-9)
-        log("env health: dispatch ~%.1f ms, d2h ~%.0f MB/s "
-            "(healthy: <1ms, >20MB/s)" % (disp_ms, d2h))
+        log_env_health(log)
 
     # --- distance model + LUT-artifact generation timing (north star #2) ---
     t0 = time.time()

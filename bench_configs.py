@@ -262,6 +262,8 @@ def main():
                                                r.returncode))
 
     import jax
+
+    from bench import log_env_health
     from iivision_tpu.movie import get_distance
     from iivision_tpu.ops import editdist
     from iivision_tpu.palettes import Palette
@@ -272,6 +274,8 @@ def main():
     from iivision_tpu import audio as audio_mod, encoder
 
     log("backend:", jax.default_backend(), jax.devices())
+    if MEASURE:
+        log_env_health(log)
     dists = {}
     for mode, pal in [(VideoMode.HGR, Palette.NTSC),
                       (VideoMode.DHGR, Palette.NTSC),
