@@ -26,6 +26,7 @@ bit-identical to the same decimator run one-shot (pinned by tests); short
 inputs keep the FFT path unchanged.
 """
 
+import functools
 import shutil
 import subprocess
 from typing import Iterator, Optional, Tuple
@@ -143,9 +144,6 @@ def resample_fft(x: np.ndarray, orig_sr: int, target_sr: float):
                           X.dtype)], axis=-1)
     y = jnp.fft.irfft(Xr, n=num) * (num / n)
     return y
-
-
-import functools
 
 
 @functools.lru_cache(None)

@@ -24,6 +24,7 @@ thread + disk cache) with a pipelined, batched design:
 """
 
 import functools
+from collections import deque
 import os
 import queue
 import threading
@@ -264,7 +265,6 @@ def ingest_stream_array(source: np.ndarray, mode: VideoMode,
         return _quantize_batch(_resize_stack(chunk), mode, palette,
                                "ordered")
 
-    from collections import deque
     starts = iter(range(0, len(sel), b))
     futs = deque()
     try:
