@@ -1,0 +1,77 @@
+"""Shared g++ build step for the ctypes-loaded native helpers.
+
+Every native piece (player VM, 6502 machine, dither / ingest / resize
+kernels) ships as a single C++ source under sim/csrc/ and self-compiles
+on first use.  Two locations are tried:
+
+- next to the source (the historical fast path, and what a git checkout
+  uses) when the directory is writable;
+- otherwise ``~/.cache/iivision_tpu/native/`` keyed by a content hash of
+  the source, so an installed wheel in a read-only site-packages works
+  and upgrades never load a stale binary.
+
+Builds land in a temp file and ``os.replace`` into place so concurrent
+processes (e.g. the CLI batch mode) never load a half-written .so.
+"""
+
+import hashlib
+import os
+import subprocess
+import tempfile
+
+_FAST_FLAGS = ["-O3", "-march=native", "-funroll-loops"]
+_BASE_FLAGS = ["-O3"]
+
+
+def _cache_dir() -> str:
+    root = os.environ.get("XDG_CACHE_HOME",
+                          os.path.join(os.path.expanduser("~"), ".cache"))
+    return os.path.join(root, "iivision_tpu", "native")
+
+
+def _compile(src: str, out: str, flags) -> None:
+    tmp_fd, tmp = tempfile.mkstemp(suffix=".so",
+                                   dir=os.path.dirname(out) or ".")
+    os.close(tmp_fd)
+    try:
+        subprocess.check_call(["g++", *flags, "-shared", "-fPIC", src,
+                               "-o", tmp])
+        os.replace(tmp, out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def build_so(src: str, native_isa: bool = False) -> str:
+    """Compile `src` (if needed) and return the .so path to dlopen.
+
+    native_isa=True first tries -march=native (the integer resize
+    convolution nearly halves with it) and falls back to plain -O3.
+    """
+    name = os.path.splitext(os.path.basename(src))[0]
+    src_dir = os.path.dirname(os.path.abspath(src))
+    in_tree = os.path.join(src_dir, "lib%s.so" % name)
+    if (os.path.exists(in_tree)
+            and os.path.getmtime(in_tree) >= os.path.getmtime(src)):
+        return in_tree
+
+    flag_sets = ([_FAST_FLAGS, _BASE_FLAGS] if native_isa
+                 else [_BASE_FLAGS])
+    if os.access(src_dir, os.W_OK):
+        out = in_tree
+    else:
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        out = os.path.join(_cache_dir(), "lib%s-%s.so" % (name, digest))
+        if os.path.exists(out):
+            return out
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+
+    last_err = None
+    for flags in flag_sets:
+        try:
+            _compile(src, out, flags)
+            return out
+        except subprocess.CalledProcessError as e:
+            last_err = e
+    raise last_err

@@ -17,15 +17,14 @@ instruction-by-instruction with cycle accounting.  Callers can then assert:
 import ctypes
 import functools
 import os
-import subprocess
 from dataclasses import dataclass
 
 import numpy as np
 
+from iivision_tpu.sim._build import build_so
 from iivision_tpu.sim import asm65
 
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
-_SO = os.path.join(_CSRC, "libapple2_vm.so")
 
 EXIT_NAMES = {0: "TERMINATED", 1: "PRODOS_QUIT", 2: "MAX_CYCLES",
               3: "BRK", 4: "STALL", 5: "UNDOCUMENTED"}
@@ -113,12 +112,7 @@ def disassemble_bytes(pc: int, op_bytes, symbols=None) -> str:
 
 
 def _build_library() -> str:
-    src = os.path.join(_CSRC, "apple2_vm.cpp")
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(src)):
-        subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO])
-    return _SO
+    return build_so(os.path.join(_CSRC, "apple2_vm.cpp"))
 
 
 @dataclass

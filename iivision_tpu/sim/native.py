@@ -3,9 +3,10 @@
 import ctypes
 import functools
 import os
-import subprocess
 
 import numpy as np
+
+from iivision_tpu.sim._build import build_so
 
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
 
@@ -14,12 +15,7 @@ KERNELS = {"floyd": 0, "buckels": 0, "atkinson": 1, "jarvis": 2}
 
 @functools.lru_cache(None)
 def _dither_lib():
-    src = os.path.join(_CSRC, "dither.cpp")
-    so = os.path.join(_CSRC, "libdither.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
-    lib = ctypes.CDLL(so)
+    lib = ctypes.CDLL(build_so(os.path.join(_CSRC, "dither.cpp")))
     lib.dither_ed.restype = None
     lib.dither_ed.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
@@ -91,12 +87,7 @@ def dither(rgb: np.ndarray, palette_rgb: np.ndarray,
 
 @functools.lru_cache(None)
 def _ingest_lib():
-    src = os.path.join(_CSRC, "ingest_fast.cpp")
-    so = os.path.join(_CSRC, "libingest_fast.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
-    lib = ctypes.CDLL(so)
+    lib = ctypes.CDLL(build_so(os.path.join(_CSRC, "ingest_fast.cpp")))
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.quantize_fused.restype = None
     lib.quantize_fused.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int,
@@ -149,18 +140,9 @@ def hgr_fit(codes: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(None)
 def _resize_lib():
-    src = os.path.join(_CSRC, "resize_fast.cpp")
-    so = os.path.join(_CSRC, "libresize_fast.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        try:
-            # native ISA nearly halves the integer convolution time
-            subprocess.check_call(
-                ["g++", "-O3", "-march=native", "-funroll-loops",
-                 "-shared", "-fPIC", src, "-o", so])
-        except subprocess.CalledProcessError:
-            subprocess.check_call(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so])
-    lib = ctypes.CDLL(so)
+    # native ISA nearly halves the integer convolution time
+    lib = ctypes.CDLL(build_so(os.path.join(_CSRC, "resize_fast.cpp"),
+                               native_isa=True))
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     lib.resample_h_u8.restype = None

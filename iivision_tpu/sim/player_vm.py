@@ -1,6 +1,7 @@
 """ctypes binding for the native C++ player VM (see csrc/player_vm.cpp).
 
-Builds the shared library on first use (g++, cached next to the source) and
+Builds the shared library on first use (g++ via sim/_build.py: cached next
+to the source, or under ~/.cache/iivision_tpu for installed wheels) and
 exposes stream decoding: given an `.a2m` byte stream and the player's opcode
 address table, reconstruct the screen memory images, the audio duty-cycle
 sequence, and validate the full W5100 2KB framing contract.
@@ -8,16 +9,15 @@ sequence, and validate the full W5100 2KB framing contract.
 
 import ctypes
 import os
-import subprocess
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
+from iivision_tpu.sim._build import build_so
 from iivision_tpu.stream.opcodes import OpcodeAddresses, default_addresses
 
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
-_SO = os.path.join(_CSRC, "libplayer_vm.so")
 
 ERROR_NAMES = {
     0: "OK",
@@ -35,12 +35,7 @@ ERROR_NAMES = {
 
 
 def _build_library() -> str:
-    src = os.path.join(_CSRC, "player_vm.cpp")
-    if (not os.path.exists(_SO)
-            or os.path.getmtime(_SO) < os.path.getmtime(src)):
-        subprocess.check_call(
-            ["g++", "-O3", "-shared", "-fPIC", src, "-o", _SO])
-    return _SO
+    return build_so(os.path.join(_CSRC, "player_vm.cpp"))
 
 
 @dataclass

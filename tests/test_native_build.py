@@ -1,0 +1,82 @@
+"""The shared g++ build step (sim/_build.py) behind every ctypes helper.
+
+An installed wheel lands in a read-only site-packages; the in-tree
+libfoo.so fast path must then fall back to a content-hashed .so under
+the user cache dir without touching the package tree."""
+
+import os
+import shutil
+
+import pytest
+
+from iivision_tpu.sim import _build
+
+SRC = """
+extern "C" int forty_two() { return 42; }
+"""
+
+
+@pytest.fixture
+def src_dir(tmp_path):
+    d = tmp_path / "csrc"
+    d.mkdir()
+    (d / "tiny.cpp").write_text(SRC)
+    return d
+
+
+def _load(so):
+    import ctypes
+    return ctypes.CDLL(so).forty_two()
+
+
+def test_in_tree_build_and_reuse(src_dir):
+    so = _build.build_so(str(src_dir / "tiny.cpp"))
+    assert so == str(src_dir / "libtiny.so")
+    assert _load(so) == 42
+    mtime = os.path.getmtime(so)
+    assert _build.build_so(str(src_dir / "tiny.cpp")) == so
+    assert os.path.getmtime(so) == mtime  # cached, not rebuilt
+
+
+def test_stale_in_tree_rebuilds(src_dir):
+    src = str(src_dir / "tiny.cpp")
+    so = _build.build_so(src)
+    os.utime(src, (os.path.getmtime(so) + 10,) * 2)
+    before = os.path.getmtime(so)
+    _build.build_so(src)
+    assert os.path.getmtime(so) > before
+
+
+def test_readonly_package_falls_back_to_cache(src_dir, tmp_path,
+                                              monkeypatch):
+    # os.access returns True for root regardless of mode bits, so force
+    # the unwritable-package branch directly.
+    monkeypatch.setattr(_build.os, "access", lambda p, m: False)
+    cache = tmp_path / "xdg"
+    monkeypatch.setenv("XDG_CACHE_HOME", str(cache))
+    src = str(src_dir / "tiny.cpp")
+    so = _build.build_so(src)
+    assert so.startswith(str(cache))
+    assert _load(so) == 42
+    assert not os.path.exists(src_dir / "libtiny.so")
+    # same content -> same blob, no rebuild
+    mtime = os.path.getmtime(so)
+    assert _build.build_so(src) == so
+    assert os.path.getmtime(so) == mtime
+    # changed content -> new blob (content-hashed: stale binaries can
+    # never be loaded for a different source)
+    with open(src, "a") as f:
+        f.write("extern \"C\" int forty_three() { return 43; }\n")
+    so2 = _build.build_so(src)
+    assert so2 != so and _load(so2) == 42
+
+
+def test_compile_error_raises(tmp_path):
+    bad = tmp_path / "bad.cpp"
+    bad.write_text("this is not C++")
+    import subprocess
+    with pytest.raises(subprocess.CalledProcessError):
+        _build.build_so(str(bad))
+    assert not (tmp_path / "libbad.so").exists()
+    # no stray temp files left behind
+    assert all(not f.endswith(".so") for f in os.listdir(tmp_path))
