@@ -366,7 +366,7 @@ def main():
     from iivision_tpu.stream.emit_fast import emit_stream_fast
 
     import jax.numpy as jnp
-    B = 32
+    B = int(os.environ.get("IIVISION_BENCH_B", "32"))  # experiment knob
     F_enc = len(m.frames.targets_main)
     # batched sections run the fidelity-frontier k=16,j=4 config
     plan, _ = encoder.plan_movie(

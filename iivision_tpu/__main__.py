@@ -1,0 +1,6 @@
+"""`python -m iivision_tpu` == the transcode CLI (iivision-transcode)."""
+
+from iivision_tpu.cli import main
+
+if __name__ == "__main__":
+    main()
