@@ -1,0 +1,45 @@
+"""Packaging metadata stays consistent with the code it points at."""
+
+import importlib
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _pyproject():
+    with open(os.path.join(REPO, "pyproject.toml")) as f:
+        return f.read()
+
+
+def test_console_scripts_resolve():
+    text = _pyproject()
+    block = text.split("[project.scripts]")[1].split("[")[0]
+    entries = re.findall(r'^\S+ = "([\w.]+):(\w+)"', block, re.M)
+    assert len(entries) >= 6
+    for module, attr in entries:
+        assert callable(getattr(importlib.import_module(module), attr)), \
+            (module, attr)
+
+
+def test_version_matches_package():
+    import iivision_tpu
+    m = re.search(r'^version = "([^"]+)"', _pyproject(), re.M)
+    assert m and m.group(1) == iivision_tpu.__version__
+
+
+def test_package_data_globs_hit_files():
+    text = _pyproject()
+    block = text.split("[tool.setuptools.package-data]")[1]
+    globs = re.findall(r'"([^"]+)"', block)
+    assert globs
+    import glob as globmod
+    pkg = os.path.join(REPO, "iivision_tpu")
+    for g in globs:
+        hits = globmod.glob(os.path.join(pkg, g))
+        assert hits, "package-data glob matched nothing: %s" % g
+    # the frozen-ABI artifacts a wheel cannot work without
+    for need in ("data/iivision.dbg", "data/player/main.s",
+                 "sim/csrc/player_vm.cpp"):
+        assert any(os.path.join(pkg, need) in h
+                   for g in globs for h in globmod.glob(os.path.join(pkg, g))), need
