@@ -88,19 +88,25 @@ _PROBE_SRC = (
 )
 
 
-def preflight(log, max_wait_s=480.0):
+def preflight(log, max_wait_s=None):
     """Probe the backend in short-lived children before any heavy work.
 
     A probe = a fresh process initializing jax and FETCHING one tiny
     result (only a fetch proves the remote service actually ran
-    something).  Bounded retries with backoff: a transiently-down tunnel
-    gets a few minutes to come back; a hard-down backend is detected in
-    bounded time instead of 1,502s (round-3 failure mode).
-    Returns (ok, detail_message).
+    something).  Round 4's capture was zeroed by a backend outage that
+    outlived a 450s preflight but not the round, so by default the
+    preflight now spends MOST of the bench budget waiting: everything
+    after a live probe (pre-warm + truncated measurement) fits in
+    ~15 min, so waiting ~30+ min for a late backend beats emitting an
+    early 0.0.  Probes stay short (150s cap) with a growing sleep
+    between them.  Returns (ok, detail_message).
     """
-    deadline = time.time() + min(max_wait_s, max(60.0, budget_left() - 300))
+    if max_wait_s is None:
+        max_wait_s = budget_left() - 900.0  # reserve: warm-up + measure
+    deadline = time.time() + max(60.0, min(max_wait_s, budget_left() - 240))
     attempt = 0
     detail = "no attempt"
+    sleep_s = 15.0
     while time.time() < deadline:
         attempt += 1
         per_try = min(150.0, max(45.0, deadline - time.time()))
@@ -120,8 +126,9 @@ def preflight(log, max_wait_s=480.0):
             detail = "probe timed out after %.0fs" % per_try
             log("preflight attempt %d: timeout after %.0fs"
                 % (attempt, per_try))
-        if deadline - time.time() > 20:
-            time.sleep(15)
+        if deadline - time.time() > sleep_s + 20:
+            time.sleep(sleep_s)
+            sleep_s = min(sleep_s * 1.5, 60.0)
     return False, detail
 
 

@@ -49,6 +49,19 @@ def main(args=None):
                         choices=["auto", "xla", "pallas"])
     a = parser.parse_args(args)
 
+    if a.data_dir is None:
+        # installed wheels live in a read-only site-packages: the default
+        # destination must then be the user cache (where the loaders also
+        # look), not the package data/ dir
+        import os
+
+        from iivision_tpu.ops.distance import DATA_DIR, _user_cache_dir
+        if not os.access(DATA_DIR, os.W_OK):
+            a.data_dir = _user_cache_dir()
+            os.makedirs(a.data_dir, exist_ok=True)
+            print("package data/ not writable; writing artifacts to %s"
+                  % a.data_dir)
+
     for pal_name in a.palettes:
         for mode_name in a.modes:
             mode, pal = VideoMode[mode_name], Palette[pal_name]

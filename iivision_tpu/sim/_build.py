@@ -16,6 +16,7 @@ processes (e.g. the CLI batch mode) never load a half-written .so.
 
 import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 
@@ -29,6 +30,25 @@ def _cache_dir() -> str:
     return os.path.join(root, "iivision_tpu", "native")
 
 
+def host_tag() -> str:
+    """Short token identifying this host's ISA + CPU feature set.
+
+    -march=native blobs built on one machine can SIGILL on another CPU
+    sharing the same $HOME (NFS), so cached filenames carry this tag.
+    """
+    feat = b""
+    try:
+        with open("/proc/cpuinfo", "rb") as f:
+            for line in f:
+                if line.startswith((b"flags", b"Features")):
+                    feat = line
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(feat).hexdigest()[:8]
+    return "%s-%s" % (platform.machine(), digest)
+
+
 def _compile(src: str, out: str, flags) -> None:
     tmp_fd, tmp = tempfile.mkstemp(suffix=".so",
                                    dir=os.path.dirname(out) or ".")
@@ -36,10 +56,18 @@ def _compile(src: str, out: str, flags) -> None:
     try:
         subprocess.check_call(["g++", *flags, "-shared", "-fPIC", src,
                                "-o", tmp])
+        # mkstemp creates 0600; shared checkouts need other users to dlopen
+        os.chmod(tmp, 0o666 & ~_umask())
         os.replace(tmp, out)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _umask() -> int:
+    cur = os.umask(0)
+    os.umask(cur)
+    return cur
 
 
 def build_so(src: str, native_isa: bool = False) -> str:
@@ -57,18 +85,29 @@ def build_so(src: str, native_isa: bool = False) -> str:
 
     flag_sets = ([_FAST_FLAGS, _BASE_FLAGS] if native_isa
                  else [_BASE_FLAGS])
-    if os.access(src_dir, os.W_OK):
-        out = in_tree
-    else:
+    writable = os.access(src_dir, os.W_OK)
+    digest = tag = None
+    if not writable:
         with open(src, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        out = os.path.join(_cache_dir(), "lib%s-%s.so" % (name, digest))
-        if os.path.exists(out):
-            return out
-        os.makedirs(os.path.dirname(out), exist_ok=True)
+        # key the cached blob by source content AND flag set AND host ISA:
+        # a '-O3' fallback must not shadow a later '-march=native' build,
+        # and a native-ISA blob from another machine sharing $HOME (NFS)
+        # must not be loaded here (SIGILL hazard)
+        tag = host_tag()
 
     last_err = None
     for flags in flag_sets:
+        if writable:
+            out = in_tree
+        else:
+            fhash = hashlib.sha256(
+                " ".join(flags).encode()).hexdigest()[:8]
+            out = os.path.join(_cache_dir(), "lib%s-%s-%s-%s.so"
+                               % (name, digest, fhash, tag))
+            if os.path.exists(out):
+                return out
+            os.makedirs(os.path.dirname(out), exist_ok=True)
         try:
             _compile(src, out, flags)
             return out

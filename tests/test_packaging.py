@@ -15,8 +15,12 @@ def _pyproject():
 def test_console_scripts_resolve():
     text = _pyproject()
     block = text.split("[project.scripts]")[1].split("[")[0]
+    lines = [ln for ln in block.splitlines() if ln.strip()]
     entries = re.findall(r'^\S+ = "([\w.]+):(\w+)"', block, re.M)
-    assert len(entries) >= 6
+    # every non-empty line must have parsed: a malformed new entry (e.g. a
+    # dotted attr the \w+ pattern rejects) must fail, not be skipped
+    assert len(entries) == len(lines) and len(entries) >= 6, \
+        (len(entries), lines)
     for module, attr in entries:
         assert callable(getattr(importlib.import_module(module), attr)), \
             (module, attr)
