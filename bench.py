@@ -61,7 +61,22 @@ def budget_left():
 
 # best headline measured so far - emitted even if a later stage dies
 _BEST = {"x": 0.0}
+_ROOF = {}  # roofline records per measured row (solo / batched)
 _EMITTED = False
+
+
+def _padded_plan(plan):
+    """The step arrays the device actually ran (bucket-padded)."""
+    from iivision_tpu import encoder
+
+    class _P:  # roofline reads only these fields
+        pass
+
+    (sf, _, sr, _), _ = encoder.pad_plan_steps(plan)
+    p = _P()
+    p.k, p.j, p.chunk_steps = plan.k, plan.j, plan.chunk_steps
+    p.step_frame, p.step_recompute = sf, sr
+    return p
 
 
 def emit_result(value, extra=None):
@@ -77,6 +92,10 @@ def emit_result(value, extra=None):
     }
     if extra:
         out.update(extra)
+    if _ROOF:
+        out["roofline"] = {k: {kk: vv for kk, vv in v.items()
+                               if kk != "line"}
+                           for k, v in _ROOF.items()}
     print(json.dumps(out), flush=True)
 
 
@@ -366,6 +385,13 @@ def main():
         log("single-movie realtime_x = %.2f (source %dx%d, "
             "resize+quantize+audio included)" % (realtime_x, SRC_W, SRC_H))
         _BEST["x"] = max(_BEST["x"], realtime_x)
+        # roofline accounting: achieved fraction of chip peak for the
+        # encode scan itself (the padded plan is what actually ran)
+        from iivision_tpu import roofline
+        _ROOF["solo"] = roofline.report(
+            _padded_plan(m.plan), VideoMode.DHGR, batch=1,
+            seconds=stats["encode_s"], device=jax.devices()[0])
+        log(_ROOF["solo"]["line"])
 
     # --- batched per-chip throughput (full pipeline on device) --------------
     from iivision_tpu import encoder
@@ -487,6 +513,24 @@ def main():
     res_p = PlayerVM().decode(streams[-1])
     assert res_p.ok, res_p.error
     batch_x = max(batch_x, pipe_x) if measure else 0.0
+
+    if measure:
+        # encode-only timing on device-resident targets -> batched roofline
+        from iivision_tpu import roofline
+        src = synth_movies_device(B, F_enc, 777)
+        lanes_b, bytes_b = pmesh.ingest_movies_batch(
+            src, VideoMode.DHGR, Palette.NTSC)
+        jax.block_until_ready((lanes_b, bytes_b))
+        t0 = time.time()
+        ops_r, _, _ = pmesh.encode_movies_batch(
+            dist, lanes_b, bytes_b, plan, VideoMode.DHGR,
+            seeds=np.arange(777, 777 + B))
+        jax.block_until_ready(ops_r)
+        _ROOF["batched"] = roofline.report(
+            _padded_plan(plan), VideoMode.DHGR, batch=B,
+            seconds=time.time() - t0, device=jax.devices()[0])
+        log(_ROOF["batched"]["line"])
+        del ops_r, lanes_b, bytes_b, src
 
     # --- host-fed batched throughput ---------------------------------------
     # The full real-source pipeline for a batch: per-movie host frames

@@ -1,0 +1,169 @@
+"""Analytical FLOP/HBM cost model of the encode scan: MFU + roofline.
+
+The headline bench reports realtime_x; this module turns a measured encode
+wall time into *achieved fraction of peak* so perf work is steered by
+numbers instead of adjectives ("recompute-bound" becomes a flops/bytes
+split).  The model mirrors encoder._build_encode_scan term by term:
+
+- per-chunk recompute (once per (frame, bank) chunk): the on-the-fly
+  Damerau-Levenshtein diff (ops/distance.dist_pixel_pairs - one-hot
+  einsums over L pixel positions + the L-step DP) and the store-cost slab
+  rebuild (contiguous-row gathers, (32, 256, C) int16 write);
+- per-step selection math: the two one-hot page extraction/write-back
+  matmuls (k x 32 x 1024 and 32 x k x 768, f32 HIGHEST) and j sub-op
+  iterations of (K, 256) masked argmax rounds + one slab row-gather each;
+- scan-carry traffic: the (banks, up, dw) state each body touches, plus
+  the carried cost slab.  Whether XLA aliases the slab across bodies is
+  not observable from here, so HBM totals come in a [min, max] band:
+  min = slab touched only at recomputes, max = slab copied every body.
+
+Peak numbers are per-chip datasheet values; unknown device kinds fall
+back to TPU v5e (the bench target).  All counts are per the BATCH (B
+movies vmapped over one scan).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from iivision_tpu import screen
+from iivision_tpu.ops import distance
+from iivision_tpu.video_mode import VideoMode
+
+# (bf16 matmul TFLOP/s, HBM GB/s) per device_kind substring, datasheet
+# values.  f32-HIGHEST matmuls run as multi-pass bf16 (6 passes) - the
+# MFU reported here is vs the bf16 peak, i.e. the ceiling XLA could
+# reach if the math were bf16 and MXU-shaped.
+_PEAKS = (
+    ("v5 lite", 197.0, 819.0),  # v5e
+    ("v5e", 197.0, 819.0),
+    ("v5p", 459.0, 2765.0),
+    ("v4", 275.0, 1228.0),
+    ("v6 lite", 918.0, 1640.0),  # v6e / Trillium
+    ("v6e", 918.0, 1640.0),
+)
+_DEFAULT_PEAK = (197.0, 819.0)  # assume v5e
+
+
+def device_peaks(device=None):
+    """(peak_tflops_bf16, peak_hbm_gbps) for a jax device (default: v5e)."""
+    kind = ""
+    if device is not None:
+        kind = str(getattr(device, "device_kind", "")).lower()
+    for sub, tf, bw in _PEAKS:
+        if sub in kind:
+            return tf, bw
+    return _DEFAULT_PEAK
+
+
+@dataclass
+class EncodeCost:
+    """Modelled cost of one batched encode-scan invocation."""
+    flops: float  # total FLOPs (batch)
+    hbm_bytes_min: float  # slab carry aliased across bodies
+    hbm_bytes_max: float  # slab carry copied read+write every body
+    flops_recompute: float  # chunk-start diff DP + slab build share
+    n_chunks: int
+    n_steps: int
+    n_subops: int  # sequential dependent iterations (latency floor)
+
+
+def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
+    """Cost model for encoder.encode_movie(plan) vmapped over `batch`."""
+    spec = screen.spec_for_mode(mode)
+    L = int(spec.MASKED_DOTS)
+    C = distance.n_contents(mode)
+    k, j = plan.k, plan.j
+    S = int(len(plan.step_frame))
+    Sc = int(plan.chunk_steps)
+    bodies = S // Sc
+    n_rec = int(plan.step_recompute.sum())
+    cells = 32 * 128  # per-lane (page, offset-pair) cells
+
+    # --- chunk-start recompute (per occurrence, per movie) -----------------
+    # dist_pixel_pairs on 2 selected lane pairs: one-hot build
+    # (2 sides x L x 16 compares), einsum ...ki,ij,...kj->...k
+    # (L x (16x16 MAC + 16 MAC)), DP loop (~6 elementwise ops per pos)
+    dp_flops = cells * (2 * L * 16 + L * (16 * 16 * 2 + 16 * 2) + L * 6)
+    lanes_sides = 2 * int(spec.N_LANES)  # cur+tgt, all lanes extracted
+    pix_flops = cells * L * 6 * lanes_sides  # shift/mask/rotate per dot
+    diff_post = cells * 8  # holes mask, up accumulate, selects
+    rec_flops = 2 * dp_flops + pix_flops + diff_post
+    # slab rebuild: gathered table rows (int16 in after the cast, f32
+    # source resident once) + slab write; diff/lane arrays
+    rec_bytes = (32 * 256 * C * 2 * 2  # slab rows read + slab write (int16)
+                 + 2 * 32 * 256 * 4 * 3  # banks read, lanes, diff arrays
+                 )
+
+    # --- per-step selection math (per movie) -------------------------------
+    extract = 2 * k * 32 * 1024  # one-hot page-row extraction matmul
+    writeback = 2 * 32 * k * 768
+    sub_flops = (k * 256) * (4 + 3 + 2  # nonce+score+argmax, one-hot, content
+                             + 3 * 8    # 3 companion argmax rounds
+                             + 12)      # masked updates
+    step_flops = extract + writeback + j * sub_flops + 32 * 8  # top_k etc
+    step_bytes = (j * k * 256 * 2      # slab row gathers (int16)
+                  + 32 * 1024 * 4 * 2)  # stacked rows read + write back (f32)
+
+    # --- scan carry (per body, per movie) -----------------------------------
+    state_bytes = 3 * 32 * 256 * 4 * 2  # active-bank up/dw/banks read+write
+    slab_carry = 32 * C * 256 * 2 * 2   # slab read+write if copied per body
+
+    per_movie_flops = n_rec * rec_flops + S * step_flops
+    per_movie_min = n_rec * rec_bytes + S * step_bytes + bodies * state_bytes
+    per_movie_max = per_movie_min + bodies * slab_carry
+
+    return EncodeCost(
+        flops=float(per_movie_flops) * batch,
+        hbm_bytes_min=float(per_movie_min) * batch,
+        hbm_bytes_max=float(per_movie_max) * batch,
+        flops_recompute=float(n_rec * rec_flops) * batch,
+        n_chunks=n_rec,
+        n_steps=S,
+        n_subops=bodies * Sc * j,
+    )
+
+
+def report(plan, mode: VideoMode, batch: int, seconds: float,
+           device=None) -> dict:
+    """One roofline record for a measured encode of `seconds` wall.
+
+    Returns a dict (ready for the bench JSON line) and a human-readable
+    summary under key "line".
+    """
+    cost = encode_cost(plan, mode, batch)
+    peak_tf, peak_bw = device_peaks(device)
+    tflops = cost.flops / seconds / 1e12
+    gbps_min = cost.hbm_bytes_min / seconds / 1e9
+    gbps_max = cost.hbm_bytes_max / seconds / 1e9
+    mfu = tflops / peak_tf
+    hbm_frac = gbps_max / peak_bw
+    # sequential dependent iterations set the latency floor when neither
+    # resource is near saturation
+    us_per_subop = seconds / max(cost.n_subops, 1) * 1e6
+    if mfu > 0.5:
+        bound = "mxu"
+    elif hbm_frac > 0.5:
+        bound = "hbm"
+    else:
+        bound = "latency(%d seq sub-ops @ %.0fus)" % (cost.n_subops,
+                                                      us_per_subop)
+    rec = {
+        "model_tflop": round(cost.flops / 1e12, 4),
+        "recompute_tflop": round(cost.flops_recompute / 1e12, 4),
+        "achieved_tflops": round(tflops, 3),
+        "mfu_pct": round(100 * mfu, 2),
+        "hbm_gbps": [round(gbps_min, 1), round(gbps_max, 1)],
+        "hbm_pct_of_peak": round(100 * hbm_frac, 1),
+        "bound": bound,
+        "peak": {"tflops_bf16": peak_tf, "hbm_gbps": peak_bw},
+    }
+    rec["line"] = (
+        "roofline[B=%d %s k=%d j=%d]: %.2fs -> %.2f TFLOP/s (%.2f%% MFU), "
+        "HBM %.0f-%.0f GB/s (<=%.0f%% of peak), recompute %.0f%% of "
+        "modelled flops, %d chunks / %d steps / %d seq sub-ops -> %s-bound"
+        % (batch, mode.name, plan.k, plan.j, seconds, tflops,
+           100 * mfu, gbps_min, gbps_max, 100 * hbm_frac,
+           100 * cost.flops_recompute / max(cost.flops, 1),
+           cost.n_chunks, cost.n_steps, cost.n_subops, rec["bound"]))
+    return rec
