@@ -265,8 +265,15 @@ def prepare_targets(frames_main: np.ndarray,
 # --- the scan -------------------------------------------------------------------
 
 def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
-                       j: int = 1, chunk_steps: int = 1):
+                       j: int = 1, chunk_steps: int = 1, diag: str = ""):
     """Construct the whole-movie encode function for (mode, K, J).
+
+    diag: comma-separated ablations for perf diagnostics ONLY (outputs are
+    wrong under any of them): "nodp" zeroes the chunk-start diff DP,
+    "noslab" keeps the carried cost slab instead of rebuilding it,
+    "nolanes" diffs the target against itself (skips the current-screen
+    lane derivation).  bench_recompute.py times these to attribute the
+    recompute cost; production callers never pass diag.
 
     k = pages selected per step; j = ops emitted per selected page per
     step (sequential sub-ops on the extracted page rows - each sees the
@@ -350,35 +357,27 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 jnp.where(is_aux, pt[ao], pt[mo]), sub)
         return screen.interleave_bank_lanes(de, do).astype(jnp.int32)
 
-    def build_sc(tgt_lanes, store_cost16, bank):
-        """Active-bank cost slab (32, 256 offsets, C) int16 via row gathers.
+    def build_sc_bank(tgt_lanes, store_cost16, bank_idx: int):
+        """One bank's cost slab (32*C rows, 256 offsets) int16, row-gathered.
 
-        sc[p, o, c] = cost of storing content c at offset o of page p
-        relative to the target frame.  Contiguous-row gathers from the small
-        int16 store-cost table outperform one-hot MXU selection here.
-        The per-bank lane pair is selected by VALUE (where on the lane
-        values + dynamic slice of the per-lane tables): a cond on a traced
-        bank executes BOTH branches under vmap, doubling the slab cost in
-        batched encodes.
+        sc row p*C + c = costs of storing content c over page p's 256
+        offsets relative to the target frame.  Contiguous-row gathers from
+        the small int16 store-cost table outperform one-hot MXU selection
+        here.  bank_idx is STATIC: both banks' slabs are built at frame
+        starts (the slab depends only on (target, bank), so the 2-4 bank
+        flips inside a frame reuse the carried pair - the per-chunk
+        rebuild's table gather was measured at 46% of the whole batched
+        encode, RECOMPUTE_DIAG.jsonl).
         """
         def lane_sc(tab, vals):
             return jnp.take(tab, vals.reshape(-1),
                             axis=0).reshape(32, 128, C)
 
-        if n_banks == 1:
-            le, lo = bank_lane_pair(0)
-            se = lane_sc(store_cost16[le], tgt_lanes[..., le])
-            so = lane_sc(store_cost16[lo], tgt_lanes[..., lo])
-            return jnp.stack([se, so], axis=2).reshape(32, 256, C)
-        is_aux = bank == 1
-        (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
-        se = lane_sc(jnp.where(is_aux, store_cost16[ae], store_cost16[me]),
-                     jnp.where(is_aux, tgt_lanes[..., ae],
-                               tgt_lanes[..., me]))
-        so = lane_sc(jnp.where(is_aux, store_cost16[ao], store_cost16[mo]),
-                     jnp.where(is_aux, tgt_lanes[..., ao],
-                               tgt_lanes[..., mo]))
-        return jnp.stack([se, so], axis=2).reshape(32, 256, C)
+        le, lo = bank_lane_pair(bank_idx)
+        se = lane_sc(store_cost16[le], tgt_lanes[..., le])
+        so = lane_sc(store_cost16[lo], tgt_lanes[..., lo])
+        return (jnp.stack([se, so], axis=2).reshape(32, 256, C)
+                .transpose(0, 2, 1).reshape(32 * C, 256))
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
                     step_frame, step_bank, step_recompute,
@@ -393,18 +392,29 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
         if init_state is None:
             state0 = dict(banks=zero, up=zero, dw=zero,
-                          sc=jnp.zeros((32 * C, 256), jnp.int16))
+                          sc=jnp.zeros((n_banks, 32 * C, 256), jnp.int16))
         else:
             state0 = dict(init_state)
+        # the cost-slab pair is rebuilt only where the chunk's FRAME
+        # differs from the previous step's (plus step 0 - fresh or carried
+        # segment state): a bank flip reuses the carried pair.  Derived
+        # from the plan arrays, which are UNBATCHED under vmap (in_axes
+        # None), so the rebuild cond stays a real cond - a batched
+        # predicate would lower to a select running the gather every body.
+        step_slab = jnp.concatenate([
+            jnp.ones((1,), bool),
+            step_recompute[1:] & (step_frame[1:] != step_frame[:-1])])
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
         def chunk_body(state, xs):
-            step_is, frames_x, banks_x, recs_x, nvalids_x = xs  # each (Sc,)
+            # each (Sc,)
+            step_is, frames_x, banks_x, recs_x, nvalids_x, slabs_x = xs
             frame = frames_x[0]
             bank = banks_x[0]
             recompute = recs_x[0]
+            slab_rebuild = slabs_x[0]
             tl = lanes_tgt[frame]  # (32, 128, n_lanes)
             tb = bytes_tgt[frame, bank]  # (32, 256) int32
             bank_c = jnp.clip(bank, 0, n_banks - 1)
@@ -416,22 +426,41 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             by_b = jax.lax.dynamic_index_in_dim(
                 state["banks"], bank_c, 0, keepdims=False)
 
-            # -- chunk-start recompute: on-the-fly DP diff + cost slab ------
+            # -- frame-start slab rebuild (both banks) ----------------------
+            def do_slab(_):
+                if "noslab" in diag:
+                    return state["sc"]
+                if "cheapslab" in diag:
+                    # same-shape slab write WITHOUT the table gather:
+                    # isolates gather cost vs carried-slab write cost
+                    return (jnp.broadcast_to(
+                        tl[:, :1, 0].astype(jnp.int16),
+                        (32, 32 * C // 32)).reshape(-1)[None, :, None]
+                        + jnp.arange(256, dtype=jnp.int16)
+                    ) + jnp.zeros((n_banks, 1, 1), jnp.int16)
+                return jnp.stack([build_sc_bank(tl, store_cost16, b)
+                                  for b in range(n_banks)])
+
+            sc_pair = jax.lax.cond(slab_rebuild, do_slab,
+                                   lambda _: state["sc"], 0)
+            slab = jax.lax.dynamic_index_in_dim(
+                sc_pair, bank_c, 0, keepdims=False)
+
+            # -- chunk-start recompute: on-the-fly DP diff -------------------
             def do_recompute(up, dw):
-                cur = lanes_of(state["banks"])
-                d = diff_bank(cur, tl, bank, sub) * holes_i
-                # slab row p*C + c = costs of storing content c over page
-                # p's 256 offsets (row-gather-friendly layout)
-                new_slab = build_sc(tl, store_cost16, bank).transpose(
-                    0, 2, 1).reshape(32 * C, 256)
-                return jnp.where(d == 0, 0, up) + d, d, new_slab
+                cur = tl if "nolanes" in diag else lanes_of(state["banks"])
+                if "nodp" in diag:
+                    d = jnp.zeros((32, 256), jnp.int32)
+                else:
+                    d = diff_bank(cur, tl, bank, sub) * holes_i
+                return jnp.where(d == 0, 0, up) + d, d
 
             def no_recompute(up, dw):
                 # continuation body of a long chunk (or a padded no-op
-                # chunk): keep the carried slab
-                return up, dw, state["sc"]
+                # chunk)
+                return up, dw
 
-            up_bf, dw_bf, slab = jax.lax.cond(
+            up_bf, dw_bf = jax.lax.cond(
                 recompute, do_recompute, no_recompute, up_b, dw_b)
             up_b = up_bf.astype(jnp.float32)
             dw_b = dw_bf.astype(jnp.float32)
@@ -578,14 +607,14 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     state["up"], up_b.astype(jnp.int32), bank_c, 0),
                 dw=jax.lax.dynamic_update_index_in_dim(
                     state["dw"], dw_b.astype(jnp.int32), bank_c, 0),
-                sc=slab,
+                sc=sc_pair,
             )
             return new_state, recs_out  # (Sc, K*j, 6)
 
         if step_index is None:
             step_index = jnp.arange(S, dtype=jnp.int32)
         xs = (step_index, step_frame, step_bank,
-              step_recompute, step_nvalid)
+              step_recompute, step_nvalid, step_slab)
         xs = jax.tree.map(
             lambda a: a.reshape((-1, Sc) + a.shape[1:]), xs)
         final, ops = jax.lax.scan(chunk_body, state0, xs)
@@ -823,7 +852,8 @@ aux).
     sub = jnp.asarray(dist.sub)
     zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
     banks, up, dw = zero, zero, zero
-    sc = jnp.zeros((32 * dist_mod.n_contents(mode), 256), jnp.int16)
+    sc = jnp.zeros((n_banks, 32 * dist_mod.n_contents(mode), 256),
+                   jnp.int16)
     ops_all = []
 
     def pad_frames(a, F):
@@ -905,7 +935,8 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
     sub = jnp.asarray(dist.sub)
     zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
     banks, up, dw = zero, zero, zero
-    sc = jnp.zeros((32 * dist_mod.n_contents(mode), 256), jnp.int16)
+    sc = jnp.zeros((n_banks, 32 * dist_mod.n_contents(mode), 256),
+                   jnp.int16)
 
     acc_main, acc_aux = [], []  # all pulled batches (host copies)
     buf_main, buf_aux = [], []  # not-yet-consumed frames

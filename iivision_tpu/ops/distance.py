@@ -39,6 +39,15 @@ DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "data")
 
 
+def _tpu_backend() -> bool:
+    """True when jax traces/executes for a TPU backend (bf16 dots OK)."""
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def lane_pixels(vals, mode: VideoMode, lane: int):
     """Masked lane values -> (..., L) pixel colour codes (jnp or numpy).
 
@@ -70,10 +79,31 @@ def dist_pixel_pairs(pa, pb, sub16):
     xp = screen._xp(pa)
     L = pa.shape[-1]
     eye = xp.arange(16, dtype=pa.dtype)
-    oa = (pa[..., None] == eye).astype(sub16.dtype)  # (..., L, 16)
-    ob = (pb[..., None] == eye).astype(sub16.dtype)
-    # sub_k = C[a_k, b_k] via one-hot contraction (no gathers)
-    sub_all = xp.einsum("...ki,ij,...kj->...k", oa, sub16, ob)
+    if xp is not np and _tpu_backend():
+        # TPU path: the one-hot contraction in bf16 with f32
+        # accumulation.  BIT-EXACT: one-hot entries are 0/1 and the
+        # CIEDE2000 substitution costs are integers <= ~110 (< 2^8, exact
+        # in bf16), so every product and the f32-accumulated sums are
+        # exact.  The (..., L, 16) one-hot operands are the diff
+        # recompute's dominant HBM traffic - bf16 halves it and the MXU
+        # runs these dots at full rate.  XLA:CPU cannot execute
+        # bf16xbf16->f32 dots (DotThunk), so this is trace-time gated to
+        # TPU; exactness vs the f32/CPU path is pinned by
+        # tests/test_distance.py's table-vs-artifact check run on TPU
+        # (tools/check_tpu_exactness.py) and the golden stream hash.
+        import jax.numpy as jnp
+
+        oa = (pa[..., None] == eye).astype(jnp.bfloat16)
+        ob = (pb[..., None] == eye).astype(jnp.bfloat16)
+        sub_all = xp.einsum("...ki,ij,...kj->...k", oa,
+                            sub16.astype(jnp.bfloat16), ob,
+                            preferred_element_type=jnp.float32)
+        sub16 = sub16.astype(jnp.float32)
+    else:
+        oa = (pa[..., None] == eye).astype(sub16.dtype)  # (..., L, 16)
+        ob = (pb[..., None] == eye).astype(sub16.dtype)
+        # sub_k = C[a_k, b_k] via one-hot contraction (no gathers)
+        sub_all = xp.einsum("...ki,ij,...kj->...k", oa, sub16, ob)
     # adjacent-transposition eligibility
     swap = (pa[..., 1:] == pb[..., :-1]) & (pa[..., :-1] == pb[..., 1:])
     swap = swap.astype(sub16.dtype)

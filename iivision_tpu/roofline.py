@@ -78,6 +78,11 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
     Sc = int(plan.chunk_steps)
     bodies = S // Sc
     n_rec = int(plan.step_recompute.sum())
+    # slab rebuilds happen on frame CHANGES only (both banks at once);
+    # bank-flip chunks reuse the carried pair (encoder.py step_slab)
+    sf = np.asarray(plan.step_frame)
+    sr = np.asarray(plan.step_recompute)
+    n_slab = int(1 + (sr[1:] & (sf[1:] != sf[:-1])).sum())
     cells = 32 * 128  # per-lane (page, offset-pair) cells
 
     # --- chunk-start recompute (per occurrence, per movie) -----------------
@@ -89,11 +94,10 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
     pix_flops = cells * L * 6 * lanes_sides  # shift/mask/rotate per dot
     diff_post = cells * 8  # holes mask, up accumulate, selects
     rec_flops = 2 * dp_flops + pix_flops + diff_post
-    # slab rebuild: gathered table rows (int16 in after the cast, f32
-    # source resident once) + slab write; diff/lane arrays
-    rec_bytes = (32 * 256 * C * 2 * 2  # slab rows read + slab write (int16)
-                 + 2 * 32 * 256 * 4 * 3  # banks read, lanes, diff arrays
-                 )
+    rec_bytes = 2 * 32 * 256 * 4 * 3  # banks read, lanes, diff arrays
+    n_banks = 2 if mode == VideoMode.DHGR else 1
+    # frame-start slab rebuild, both banks: gathered table rows + write
+    slab_bytes = n_banks * 32 * 256 * C * 2 * 2
 
     # --- per-step selection math (per movie) -------------------------------
     extract = 2 * k * 32 * 1024  # one-hot page-row extraction matmul
@@ -107,10 +111,12 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
 
     # --- scan carry (per body, per movie) -----------------------------------
     state_bytes = 3 * 32 * 256 * 4 * 2  # active-bank up/dw/banks read+write
-    slab_carry = 32 * C * 256 * 2 * 2   # slab read+write if copied per body
+    # carried slab pair read+write if XLA copies it per body
+    slab_carry = n_banks * 32 * C * 256 * 2 * 2
 
     per_movie_flops = n_rec * rec_flops + S * step_flops
-    per_movie_min = n_rec * rec_bytes + S * step_bytes + bodies * state_bytes
+    per_movie_min = (n_rec * rec_bytes + n_slab * slab_bytes
+                     + S * step_bytes + bodies * state_bytes)
     per_movie_max = per_movie_min + bodies * slab_carry
 
     return EncodeCost(

@@ -492,16 +492,25 @@ int CPU::step() {
 
 }  // namespace
 
-extern "C" int64_t a2_run(
+// a2_run plus a ProDOS MLI service at `mli_addr` (0 = disabled): the 5
+// calls the reference's cc65 loader chain makes (GET_FILE_INFO $C4, OPEN
+// $C8, READ $CA, CLOSE $CC, QUIT $65) are served from a host-provided
+// file table - the files of the actual produced disk image - so the REAL
+// loader binary and the REAL on-disk player execute on the 6502; only
+// ProDOS-the-OS itself (Apple's licensed binary) is substituted.
+// mli_idx: 6 int64 per file: [name_off, name_len, data_off, data_len,
+// file_type, aux_type] into mli_blob.  Exit code 6 = unsupported MLI call.
+extern "C" int64_t a2_run_mli(
         uint8_t* main_mem, uint8_t* aux_mem,
         const uint8_t* stream, int64_t stream_len,
         int64_t max_cycles,
         int64_t* tick_cycles, int64_t tick_cap,
-        int64_t* counts,  // [n_ticks, cycles, exit, pc, n_recv, n_cout,
-                          //  a, x, y, n_trace]
+        int64_t* counts,
         uint16_t start_pc, uint16_t terminate_addr,
         uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
-        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring) {
+        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring,
+        const uint8_t* mli_blob, const int64_t* mli_idx,
+        int64_t mli_nfiles, uint16_t mli_addr) {
     Machine m;
     m.main = main_mem;
     m.aux = aux_mem;
@@ -521,10 +530,127 @@ extern "C" int64_t a2_run(
     };
     int64_t n_trace = 0;  // total instructions traced (can exceed cap)
 
+    // MLI service state: ProDOS ref_num -> (file index, read mark)
+    int64_t mli_open_file[8] = {-1, -1, -1, -1, -1, -1, -1, -1};
+    int64_t mli_open_mark[8] = {0};
+
+    // match the LAST '/'-component of a length-prefixed pathname in 6502
+    // memory against the host file table; -1 if absent
+    auto mli_lookup = [&](uint16_t path_ptr) -> int64_t {
+        uint8_t plen = main_mem[path_ptr];
+        uint16_t start = path_ptr + 1, end = path_ptr + 1 + plen;
+        for (uint16_t i = end; i > start; i--) {
+            if (main_mem[i - 1] == '/') { start = i; break; }
+        }
+        int comp_len = end - start;
+        for (int64_t f = 0; f < mli_nfiles; f++) {
+            const int64_t* e = mli_idx + f * 6;
+            if (e[1] != comp_len) continue;
+            bool same = true;
+            for (int i = 0; i < comp_len; i++) {
+                uint8_t a = main_mem[start + i] & 0x7F;
+                uint8_t b = mli_blob[e[0] + i];
+                if (a >= 'a' && a <= 'z') a -= 32;
+                if (b >= 'a' && b <= 'z') b -= 32;
+                if (a != b) { same = false; break; }
+            }
+            if (same) return f;
+        }
+        return -1;
+    };
+
     int exit_code = 2;
     while (m.cycles < max_cycles) {
         uint16_t pc = cpu.pc;
         if (pc == terminate_addr) { exit_code = 0; break; }
+        if (mli_addr && pc == mli_addr) {
+            // ProDOS MLI ABI: JSR $BF00 / .byte cmd / .word parms;
+            // returns past the inline bytes with A=error, carry=error!=0
+            uint16_t lo = m.read(0x0100 | (uint8_t)(cpu.sp + 1));
+            uint16_t hi = m.read(0x0100 | (uint8_t)(cpu.sp + 2));
+            cpu.sp += 2;
+            uint16_t ret = (uint16_t)((hi << 8) | lo);  // JSR addr + 2
+            uint8_t cmd = main_mem[(uint16_t)(ret + 1)];
+            uint16_t parm = (uint16_t)(main_mem[(uint16_t)(ret + 2)]
+                            | (main_mem[(uint16_t)(ret + 3)] << 8));
+            cpu.pc = (uint16_t)(ret + 4);
+            uint8_t err = 0;
+            if (cmd == 0x65) {  // QUIT
+                exit_code = 1;
+                break;
+            } else if (cmd == 0xC4) {  // GET_FILE_INFO
+                uint16_t pp = (uint16_t)(main_mem[parm + 1]
+                              | (main_mem[parm + 2] << 8));
+                int64_t f = mli_lookup(pp);
+                if (f < 0) { err = 0x46; }  // file not found
+                else {
+                    const int64_t* e = mli_idx + f * 6;
+                    main_mem[parm + 3] = 0xC3;             // access
+                    main_mem[parm + 4] = (uint8_t)e[4];    // file_type
+                    main_mem[parm + 5] = (uint8_t)e[5];    // aux_type lo
+                    main_mem[parm + 6] = (uint8_t)(e[5] >> 8);
+                    main_mem[parm + 7] = 1;                // storage_type
+                    uint16_t blocks = (uint16_t)((e[3] + 511) / 512);
+                    main_mem[parm + 8] = (uint8_t)blocks;
+                    main_mem[parm + 9] = (uint8_t)(blocks >> 8);
+                    for (int i = 10; i < 18; i++) main_mem[parm + i] = 0;
+                }
+            } else if (cmd == 0xC8) {  // OPEN
+                uint16_t pp = (uint16_t)(main_mem[parm + 1]
+                              | (main_mem[parm + 2] << 8));
+                int64_t f = mli_lookup(pp);
+                int slot = -1;
+                for (int s = 0; s < 8; s++)
+                    if (mli_open_file[s] < 0) { slot = s; break; }
+                if (f < 0) err = 0x46;
+                else if (slot < 0) err = 0x42;  // too many open
+                else {
+                    mli_open_file[slot] = f;
+                    mli_open_mark[slot] = 0;
+                    main_mem[parm + 5] = (uint8_t)(slot + 1);  // ref_num
+                }
+            } else if (cmd == 0xCA) {  // READ
+                int slot = main_mem[parm + 1] - 1;
+                if (slot < 0 || slot >= 8 || mli_open_file[slot] < 0)
+                    err = 0x43;  // bad ref
+                else {
+                    const int64_t* e = mli_idx + mli_open_file[slot] * 6;
+                    uint16_t buf = (uint16_t)(main_mem[parm + 2]
+                                   | (main_mem[parm + 3] << 8));
+                    int64_t req = main_mem[parm + 4]
+                                  | (main_mem[parm + 5] << 8);
+                    int64_t left = e[3] - mli_open_mark[slot];
+                    int64_t n = req < left ? req : left;
+                    if (n <= 0 && req > 0) err = 0x4C;  // EOF
+                    else {
+                        for (int64_t i = 0; i < n; i++)
+                            m.write((uint16_t)(buf + i),
+                                    mli_blob[e[2] + mli_open_mark[slot]
+                                             + i]);
+                        mli_open_mark[slot] += n;
+                        main_mem[parm + 6] = (uint8_t)n;
+                        main_mem[parm + 7] = (uint8_t)(n >> 8);
+                    }
+                }
+            } else if (cmd == 0xCC) {  // CLOSE
+                int slot = main_mem[parm + 1] - 1;
+                if (slot == -1) {  // ref 0 = close all
+                    for (int s = 0; s < 8; s++) mli_open_file[s] = -1;
+                } else if (slot < 0 || slot >= 8
+                           || mli_open_file[slot] < 0) {
+                    err = 0x43;
+                } else {
+                    mli_open_file[slot] = -1;
+                }
+            } else {
+                exit_code = 6;  // unsupported MLI call: fail loudly
+                break;
+            }
+            cpu.a = err;
+            cpu.p = (uint8_t)((cpu.p & ~0x03) | (err ? 0x01 : 0x02));
+            m.cycles += 100;  // nominal MLI service cost
+            continue;
+        }
         if (pc == prodos_addr) { exit_code = 1; break; }
         if (pc == hgr0_addr) {
             // HGR0 ROM internals: clear the hires page tracked by HGRZP
@@ -580,4 +706,21 @@ extern "C" int64_t a2_run(
     counts[8] = cpu.y;
     counts[9] = n_trace;
     return exit_code;
+}
+
+extern "C" int64_t a2_run(
+        uint8_t* main_mem, uint8_t* aux_mem,
+        const uint8_t* stream, int64_t stream_len,
+        int64_t max_cycles,
+        int64_t* tick_cycles, int64_t tick_cap,
+        int64_t* counts,  // [n_ticks, cycles, exit, pc, n_recv, n_cout,
+                          //  a, x, y, n_trace]
+        uint16_t start_pc, uint16_t terminate_addr,
+        uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
+        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring) {
+    return a2_run_mli(main_mem, aux_mem, stream, stream_len, max_cycles,
+                      tick_cycles, tick_cap, counts, start_pc,
+                      terminate_addr, hgr0_addr, cout_addr, prodos_addr,
+                      trace_buf, trace_cap, trace_ring,
+                      nullptr, nullptr, 0, 0);
 }

@@ -27,7 +27,8 @@ from iivision_tpu.sim import asm65
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
 
 EXIT_NAMES = {0: "TERMINATED", 1: "PRODOS_QUIT", 2: "MAX_CYCLES",
-              3: "BRK", 4: "STALL", 5: "UNDOCUMENTED"}
+              3: "BRK", 4: "STALL", 5: "UNDOCUMENTED",
+              6: "MLI_UNSUPPORTED"}
 
 
 @dataclass
@@ -317,3 +318,109 @@ def play_stream(stream: bytes, max_cycles: int = 1 << 40,
     if _PLAYER is None:
         _PLAYER = Apple2Player()
     return _PLAYER.run(stream, max_cycles, trace=trace)
+
+
+_MLI_ARGTYPES = Apple2Player.ARGTYPES + [
+    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+    ctypes.c_int64, ctypes.c_uint16,
+]
+
+MLI_ENTRY = 0xBF00  # the ProDOS MLI vector the loader chain JSRs
+
+
+def boot_disk(disk_bytes: bytes, stream: bytes,
+              max_cycles: int = 1 << 40, trace=None,
+              system_file: str = "IIVISION.SYSTEM") -> RunResult:
+    """Boot a produced ProDOS disk image's loader chain and play `stream`.
+
+    Mirrors what ProDOS does after its own startup (the part the reference
+    delegates to Apple's licensed OS binary): loads the volume's .SYSTEM
+    file at $2000, puts its pathname at $0280 (the ProDOS startup-path
+    convention the cc65 loader reads), and serves the loader's MLI calls
+    ($BF00: GET_FILE_INFO/OPEN/READ/CLOSE/QUIT) from the files of the
+    ACTUAL disk image.  The REAL reference loader binary then loads the
+    REAL on-disk player at its recorded aux_type address and jumps to it;
+    the player streams from the W5100 to op_terminate exactly like
+    play_stream.  So the produced .po/.dsk is proven bootable end-to-end
+    minus only ProDOS itself (reference player/Makefile +
+    make/createDiskImage packaging flow).
+    """
+    from iivision_tpu import prodos
+
+    vol = prodos.ProDOSVolume.from_bytes(disk_bytes)
+    files = [(e.name, vol.read_file(e.name), e.file_type, e.aux_type)
+             for e in vol.list_files()]
+    by_name = {n: (c, t, a) for n, c, t, a in files}
+    if system_file not in by_name:
+        raise ValueError("no %s on the disk image (files: %s)"
+                         % (system_file, sorted(by_name)))
+
+    # serialize the file table for the C MLI service
+    blob = bytearray()
+    idx = np.zeros(len(files) * 6, np.int64)
+    for i, (name, content, ftype, aux) in enumerate(files):
+        idx[i * 6 + 0] = len(blob)
+        idx[i * 6 + 1] = len(name)
+        blob += name.encode("ascii")
+        idx[i * 6 + 2] = len(blob)
+        idx[i * 6 + 3] = len(content)
+        blob += content
+        idx[i * 6 + 4] = ftype
+        idx[i * 6 + 5] = aux
+    blob_np = np.frombuffer(bytes(blob), np.uint8)
+
+    lib = ctypes.CDLL(_build_library())
+    lib.a2_run_mli.restype = ctypes.c_int64
+    lib.a2_run_mli.argtypes = _MLI_ARGTYPES
+
+    # frozen-ABI symbols (op_terminate etc.) - the player bytes come from
+    # the DISK, the addresses from the pinned .dbg
+    syms = asm65.assemble_player().symbols
+    main = np.zeros(65536, np.uint8)
+    aux = np.zeros(65536, np.uint8)
+    loader, ltype, _laux = by_name[system_file]
+    if ltype != 0xFF:
+        raise ValueError("%s is not a SYS file (type %02x)"
+                         % (system_file, ltype))
+    main[0x2000:0x2000 + len(loader)] = np.frombuffer(loader, np.uint8)
+    # ProDOS startup pathname at $0280 (length-prefixed)
+    path = "/IIVISION/" + system_file
+    main[0x0280] = len(path)
+    main[0x0281:0x0281 + len(path)] = np.frombuffer(
+        path.encode("ascii"), np.uint8)
+
+    tick_cap = (len(stream) // 7 * 2 + len(stream) // 2048 * 4 + 4096)
+    ticks = np.zeros(tick_cap, np.int64)
+    counts = np.zeros(10, np.int64)
+    trace_mode, trace_cap = _parse_trace(trace)
+    trace_buf = np.zeros(max(trace_cap, 1) * 3, np.int64)
+
+    def ptr(arr, ty):
+        return arr.ctypes.data_as(ctypes.POINTER(ty))
+
+    lib.a2_run_mli(
+        ptr(main, ctypes.c_uint8), ptr(aux, ctypes.c_uint8),
+        stream, len(stream), max_cycles,
+        ptr(ticks, ctypes.c_int64), tick_cap,
+        ptr(counts, ctypes.c_int64),
+        0x2000, syms["op_terminate"],
+        syms["HGR0"], syms["COUT"], syms["PRODOS"],
+        ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
+        ptr(blob_np, ctypes.c_uint8), ptr(idx, ctypes.c_int64),
+        len(files), MLI_ENTRY)
+    if int(counts[0]) > tick_cap:
+        raise RuntimeError("speaker tick log overflow: %d > %d"
+                           % (int(counts[0]), tick_cap))
+    n_ticks = min(int(counts[0]), tick_cap)
+    return RunResult(
+        exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
+        cycles=int(counts[1]),
+        tick_cycles=ticks[:n_ticks].copy(),
+        main=main[0x2000:0x4000].reshape(32, 256).copy(),
+        aux=aux[0x2000:0x4000].reshape(32, 256).copy(),
+        n_recv=int(counts[4]),
+        pc=int(counts[3]),
+        regs=(int(counts[6]), int(counts[7]), int(counts[8])),
+        trace=_decode_trace(trace_buf, trace_cap, int(counts[9]),
+                            trace_mode == 1),
+        n_executed=int(counts[9]))

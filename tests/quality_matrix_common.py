@@ -1,0 +1,86 @@
+"""Shared row definitions for the quality-regression matrix.
+
+Used by tests/test_quality_matrix.py (the gate) and
+tools/gen_quality_baselines.py (deliberate regeneration) so both sides
+compute identical rows.
+"""
+
+import numpy as np
+
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+CLIP_SECONDS = 2.0
+
+
+def clip_sweep():
+    """Clip A: the bench's smooth moving sine sweep (pinned)."""
+    from bench import synth_clip
+
+    return synth_clip(seconds=CLIP_SECONDS)
+
+
+def clip_blocks():
+    """Clip B: hard-edged moving blocks + static detail (pinned).
+
+    Deliberately unlike clip A: large flat regions, sharp edges, abrupt
+    per-frame motion - exercises the encoder's priority scheduling in a
+    regime the smooth sweep never reaches.
+    """
+    F = int(CLIP_SECONDS * 30)
+    h, w = 192, 280
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 8, size=(12, 18), dtype=np.int32)
+    palette = np.array(
+        [[0, 0, 0], [220, 30, 30], [30, 200, 40], [40, 60, 220],
+         [230, 220, 40], [200, 40, 200], [40, 210, 210], [255, 255, 255]],
+        np.uint8)
+    frames = np.zeros((F, h, w, 3), np.uint8)
+    cell = palette[base]  # (12, 18, 3)
+    bg = np.kron(cell, np.ones((16, 16, 1), np.uint8))[:h, :w]
+    for t in range(F):
+        f = bg.copy()
+        x = (t * 9) % (w - 60)
+        y = (t * 5) % (h - 40)
+        f[y:y + 40, x:x + 60] = [255, 160, 0]
+        x2 = w - 80 - (t * 7) % (w - 80)
+        f[20:50, x2:x2 + 50] = [0, 0, 0] if t % 2 else [255, 255, 255]
+        frames[t] = f
+    return frames
+
+
+# (row_key, clip_name, mode, palette, colour_model).  Window covers the
+# full mode x palette square; yiq runs on its two flagship configs (its
+# other tables are multi-minute CPU builds on a cold cache - coverage of
+# every mode/palette/colour-model axis is retained).
+ROWS = []
+for clip_name in ("sweep", "blocks"):
+    for mode in (VideoMode.DHGR, VideoMode.HGR):
+        for pal in (Palette.NTSC, Palette.IIGS):
+            ROWS.append(("%s_%s_%s_window" % (clip_name, mode.name.lower(),
+                                              pal.name.lower()),
+                         clip_name, mode, pal, "window"))
+    ROWS.append(("%s_dhgr_ntsc_yiq" % clip_name, clip_name,
+                 VideoMode.DHGR, Palette.NTSC, "yiq"))
+    ROWS.append(("%s_hgr_iigs_yiq" % clip_name, clip_name,
+                 VideoMode.HGR, Palette.IIGS, "yiq"))
+
+
+def compute_row(clip_rgb, mode, pal, colour_model, k=16, j=4, seed=0):
+    """(mean_error, final_error) for one matrix row (seeded, CPU-exact)."""
+    from iivision_tpu import audio as audio_mod, encoder, quality
+    from iivision_tpu.movie import Movie
+
+    n = int(CLIP_SECONDS * 14700)
+    tone = (np.sin(2 * np.pi * 440 * np.arange(n) / 14700)
+            * 16000).astype(np.float32)
+    m = Movie(frames_source=clip_rgb,
+              audio_source=audio_mod.Audio(data=tone, rate=14700,
+                                           bitrate=14700),
+              every_n_video_frames=2, video_mode=mode, palette=pal,
+              k=k, j=j, seed=seed, colour_model=colour_model)
+    flat, _ = m.encode_ops()
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, mode)
+    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt, mode, m.dist)
+    return float(rep.mean_error), float(rep.final_error)

@@ -1,0 +1,89 @@
+"""End-to-end boot of the produced disk image through the loader chain.
+
+Round-4 gap: make_disk packaged the player onto a ProDOS volume, but
+nothing executed the LOADER CHAIN from the image - the VM loaded the
+player at $0800 directly.  machine65.boot_disk closes that: it loads the
+volume's IIVISION.SYSTEM (the reference's cc65 loader binary, carried by
+the vendored prodos_template.dsk) at $2000 exactly as ProDOS would, and
+serves the loader's five MLI calls from the files of the ACTUAL image -
+so the real loader loads the real on-disk player at its recorded
+aux_type and jumps to it, and the player streams to op_terminate.  The
+only substituted part is ProDOS itself (Apple's licensed binary), whose
+role here is loading the .SYSTEM file and serving MLI (reference
+player/Makefile + make/createDiskImage packaging flow).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from iivision_tpu import make_disk, prodos
+from iivision_tpu.sim import machine65
+from iivision_tpu.stream.framing import StreamFramer
+from iivision_tpu.stream.opcodes import Header, Tick
+from iivision_tpu.video_mode import VideoMode
+
+_TEMPLATE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "iivision_tpu", "data", "player",
+    "prodos_template.dsk")
+
+
+def _stream(n_ticks=600):
+    f = StreamFramer(VideoMode.DHGR)
+    ops = [Header(VideoMode.DHGR)] + [
+        Tick(34, 32 + i % 32, (3 * i) % 128, ((4 * i) % 256,
+                                              (4 * i + 1) % 256,
+                                              (4 * i + 2) % 256,
+                                              (4 * i + 3) % 256))
+        for i in range(n_ticks)]
+    return b"".join(f.emit_stream(iter(ops)))
+
+
+@pytest.fixture(scope="module")
+def disk_po():
+    tmpl = open(_TEMPLATE, "rb").read()
+    vol = make_disk.build_disk(template=tmpl)
+    return vol.to_po()
+
+
+def test_template_packaging_matches_reference_flow(disk_po):
+    vol = prodos.ProDOSVolume.from_bytes(disk_po)
+    files = {e.name: e for e in vol.list_files()}
+    # reference createDiskImage flow: BASIC.SYSTEM deleted, LOADER.SYSTEM
+    # renamed, player added as BIN at its load address
+    assert "BASIC.SYSTEM" not in files
+    assert files["IIVISION.SYSTEM"].file_type == 0xFF
+    assert files["IIVISION"].file_type == 0x06
+    assert files["IIVISION"].aux_type == make_disk.PLAYER_START
+    # the packaged player bytes ARE the assembled frozen-ABI player
+    assert vol.read_file("IIVISION") == make_disk.player_binary()
+
+
+def test_boot_po_plays_to_terminate(disk_po):
+    stream = _stream()
+    res = machine65.boot_disk(disk_po, stream, max_cycles=10 ** 8)
+    assert res.exit_reason == "TERMINATED", (res.exit_reason, hex(res.pc))
+    assert res.n_recv >= 1  # the 2KB/ACK window advanced
+    # the booted player must leave EXACTLY the screen state the direct
+    # $0800-loaded player leaves for the same stream
+    direct = machine65.play_stream(stream, max_cycles=10 ** 8)
+    assert direct.exit_reason == "TERMINATED"
+    assert np.array_equal(res.main, direct.main)
+    assert np.array_equal(res.aux, direct.aux)
+    # and the same speaker cadence (cycle-exact playback after boot)
+    assert np.array_equal(res.duty_cycles, direct.duty_cycles)
+
+
+def test_boot_dsk_order_too(disk_po):
+    # the .dsk (DOS sector order) emission of the same volume boots too
+    vol = prodos.ProDOSVolume.from_bytes(disk_po)
+    res = machine65.boot_disk(vol.to_dsk(), _stream(320),
+                              max_cycles=10 ** 8)
+    assert res.exit_reason == "TERMINATED", (res.exit_reason, hex(res.pc))
+
+
+def test_boot_without_system_file_fails_loudly():
+    vol = prodos.ProDOSVolume.create("EMPTY")
+    with pytest.raises(ValueError, match="IIVISION.SYSTEM"):
+        machine65.boot_disk(vol.to_po(), _stream(64))

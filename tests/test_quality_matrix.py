@@ -1,0 +1,53 @@
+"""Quality-regression gate MATRIX: every shipped config is tripwired.
+
+The single-clip gate (test_quality_regression.py) kept its two 5s pinned
+rows; this matrix widens coverage to {DHGR,HGR} x {NTSC,IIGS} x
+{window,yiq} x 2 pinned clips (12 seeded rows, see
+quality_matrix_common.ROWS) so a silent quality drift in ANY shipped
+mode/palette/colour-model - like round 3's quantizer drift - fails CI.
+
+Gate: mean replay error must not regress >1% vs the committed baseline
+(tests/data/quality_matrix_baseline.json).  Regenerate deliberately with
+tools/gen_quality_baselines.py and say so in the commit message.
+"""
+
+import json
+import os
+
+import pytest
+
+from tests.quality_matrix_common import (ROWS, clip_blocks, clip_sweep,
+                                         compute_row)
+
+_BASELINE = os.path.join(os.path.dirname(__file__), "data",
+                         "quality_matrix_baseline.json")
+
+
+@pytest.fixture(scope="module")
+def baseline():
+    with open(_BASELINE) as f:
+        return json.load(f)["rows"]
+
+
+@pytest.fixture(scope="module")
+def clips():
+    return {"sweep": clip_sweep(), "blocks": clip_blocks()}
+
+
+@pytest.mark.parametrize(
+    "key,clip_name,mode,pal,cm", ROWS,
+    ids=[r[0] for r in ROWS])
+def test_matrix_row(baseline, clips, key, clip_name, mode, pal, cm):
+    assert key in baseline, (
+        "row %s has no committed baseline - run "
+        "tools/gen_quality_baselines.py" % key)
+    mean_err, final_err = compute_row(clips[clip_name], mode, pal, cm)
+    row = baseline[key]
+    assert mean_err <= row["mean_error"] * 1.01 + 1e-6, (
+        "replay mean error regressed >1%% vs committed baseline for %s: "
+        "%.4f > %.4f * 1.01 - if the change is an intended quality trade, "
+        "regenerate tests/data/quality_matrix_baseline.json "
+        "(tools/gen_quality_baselines.py) and say so in the commit"
+        % (key, mean_err, row["mean_error"]))
+    assert final_err <= row["final_error"] * 1.02 + 0.05, (
+        key, final_err, row["final_error"])

@@ -1,0 +1,98 @@
+"""TPU bit-exactness check for the bf16 one-hot DP path (ops/distance.py).
+
+The device DP runs its one-hot substitution contraction in bf16 with f32
+accumulation on TPU backends (exact by range analysis: 0/1 one-hots x
+integer costs <= 110).  XLA:CPU cannot execute that dot, so the CPU test
+suite exercises the f32 fallback; THIS script is the TPU-side pin:
+
+1. builds the DHGR+HGR store-cost tables live on the TPU (full input
+   space of dist_pixel_pairs) and compares them bit-exactly against the
+   shipped uint16 artifacts (data/store_cost/, built by the f32 path);
+2. re-encodes the golden pinned movie (tests/test_stream.py) on the TPU
+   and checks the frozen stream hash.
+
+Exit 0 = the bf16 path is bit-identical to the f32/CPU path.
+Appends a JSON line to TPU_EXACTNESS.jsonl.
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (run from anywhere)
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from iivision_tpu import encoder
+    from iivision_tpu.ops import distance
+    from iivision_tpu.palettes import Palette
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+    from iivision_tpu.video_mode import VideoMode
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    backend = jax.default_backend()
+    log("backend:", backend, jax.devices())
+    if backend != "tpu":
+        log("NOT a TPU backend - the bf16 path is not active; aborting")
+        return 1
+
+    rec = {"backend": backend, "ts": time.time(), "tables": {},
+           "golden_hash_ok": None}
+
+    # 1. full-input-space table check vs shipped f32-built artifacts
+    for mode, pal in ((VideoMode.DHGR, Palette.NTSC),
+                      (VideoMode.HGR, Palette.NTSC)):
+        path = distance.store_cost_path(mode, pal, "window")
+        shipped = np.load(path)["cost"]
+        t0 = time.time()
+        live = np.asarray(distance._build_store_cost(mode, pal, "window"))
+        dt = time.time() - t0
+        same = (live.astype(np.uint16) == shipped).all() and \
+            float(np.abs(live - np.round(live)).max()) == 0.0
+        rec["tables"]["%s_%s" % (mode.name, pal.name)] = bool(same)
+        log("%s/%s table (%s cells): live-TPU-bf16 == shipped-f32: %s "
+            "(%.1fs)" % (mode.name, pal.name, live.size, same, dt))
+        if not same:
+            diff = np.abs(live.astype(np.int64) - shipped.astype(np.int64))
+            log("  MISMATCH: %d cells, max |d| = %d"
+                % ((diff > 0).sum(), diff.max()))
+
+    # 2. golden pinned stream on TPU
+    mode = VideoMode.DHGR
+    dist = distance.ComputedDistance(mode, Palette.NTSC)
+    rng = np.random.RandomState(123)
+    fmain = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    faux = rng.randint(0, 0x80, size=(2, 32, 256)).astype(np.uint8)
+    plan, _ = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=1200, input_frame_rate=12.0,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode, k=8)
+    lanes, bytes_ = encoder.prepare_targets(fmain, faux, mode)
+    ops, _, _ = encoder.encode_movie(dist, lanes, bytes_, plan, mode,
+                                     seed=None)
+    flat = encoder.flatten_ops(np.asarray(ops), plan)
+    levels = ((np.arange(plan.n_ops) % 32) - 15).astype(np.int32)
+    data = emit_stream_fast(flat, levels, mode)
+    want = "57fdd52adf53d75101ed121d28d8a5389465c09f99d960ba6c47c20dbdb30fbc"
+    got = hashlib.sha256(data).hexdigest()
+    rec["golden_hash_ok"] = bool(got == want)
+    log("golden stream hash on TPU:", "OK" if got == want
+        else "MISMATCH %s" % got)
+
+    ok = all(rec["tables"].values()) and rec["golden_hash_ok"]
+    rec["ok"] = bool(ok)
+    with open("TPU_EXACTNESS.jsonl", "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
