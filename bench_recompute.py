@@ -22,7 +22,7 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 import numpy as np
 
-VARIANTS = ["full", "noslab", "nodp,noslab"]
+VARIANTS = ["full"]
 B = 32
 REPS = 3
 

@@ -70,6 +70,8 @@ from iivision_tpu.stream import opcodes as ops_mod
 from iivision_tpu.video_mode import VideoMode
 
 OP_FIELDS = 6  # per-op record: [page, content, o0, o1, o2, o3]
+import os as _os
+_SCAN_UNROLL = int(_os.environ.get("IIVISION_SCAN_UNROLL", "1"))
 BODY_CAP = 8  # max plan steps unrolled per scan body: bodies tile chunks
 # (a chunk shorter than the cap gets exactly one body), bounding compile
 # time for small-K configs whose chunks span tens of steps
@@ -329,6 +331,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 ds[0], ds[1]).astype(jnp.int32)
         is_aux = bank == 1
         (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
+        # both lanes run through ONE batched distance call (stacked on a
+        # leading axis): the einsum/DP math is elementwise over leading
+        # dims, so results are bit-identical and the recompute cond's op
+        # chain halves
         if getattr(sub, "ndim", 2) == 4:  # NTSC-composite YIQ basis
             from iivision_tpu.ops import yiq
 
@@ -336,26 +342,24 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                   for l in range(4)]
             wt = [yiq.lane_windows(tgt_lanes[..., l], mode, l)
                   for l in range(4)]
-            de = distance.dist_window_sums(
-                jnp.where(is_aux, wc[ae], wc[me]),
-                jnp.where(is_aux, wt[ae], wt[me]),
-                jnp.where(is_aux, sub[ae], sub[me]))
-            do = distance.dist_window_sums(
-                jnp.where(is_aux, wc[ao], wc[mo]),
-                jnp.where(is_aux, wt[ao], wt[mo]),
-                jnp.where(is_aux, sub[ao], sub[mo]))
+            wa = jnp.stack([jnp.where(is_aux, wc[ae], wc[me]),
+                            jnp.where(is_aux, wc[ao], wc[mo])])
+            wb = jnp.stack([jnp.where(is_aux, wt[ae], wt[me]),
+                            jnp.where(is_aux, wt[ao], wt[mo])])
+            sub2 = jnp.stack([jnp.where(is_aux, sub[ae], sub[me]),
+                              jnp.where(is_aux, sub[ao], sub[mo])])
+            d2 = distance.dist_window_sums_sub2(wa, wb, sub2)
         else:
             pc = [distance.lane_pixels(cur_lanes[..., l], mode, l)
                   for l in range(4)]
             pt = [distance.lane_pixels(tgt_lanes[..., l], mode, l)
                   for l in range(4)]
-            de = distance.dist_pixel_pairs(
-                jnp.where(is_aux, pc[ae], pc[me]),
-                jnp.where(is_aux, pt[ae], pt[me]), sub)
-            do = distance.dist_pixel_pairs(
-                jnp.where(is_aux, pc[ao], pc[mo]),
-                jnp.where(is_aux, pt[ao], pt[mo]), sub)
-        return screen.interleave_bank_lanes(de, do).astype(jnp.int32)
+            pa = jnp.stack([jnp.where(is_aux, pc[ae], pc[me]),
+                            jnp.where(is_aux, pc[ao], pc[mo])])
+            pb = jnp.stack([jnp.where(is_aux, pt[ae], pt[me]),
+                            jnp.where(is_aux, pt[ao], pt[mo])])
+            d2 = distance.dist_pixel_pairs(pa, pb, sub)
+        return screen.interleave_bank_lanes(d2[0], d2[1]).astype(jnp.int32)
 
     def build_sc_bank(tgt_lanes, store_cost16, bank_idx: int):
         """One bank's cost slab (32*C rows, 256 offsets) int16, row-gathered.
@@ -443,8 +447,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
             sc_pair = jax.lax.cond(slab_rebuild, do_slab,
                                    lambda _: state["sc"], 0)
-            slab = jax.lax.dynamic_index_in_dim(
-                sc_pair, bank_c, 0, keepdims=False)
+            # index the active bank's rows by a base offset instead of
+            # materialising a 2MB dynamic slice of the pair every body
+            slab = sc_pair.reshape(n_banks * 32 * C, 256)
+            slab_base = bank_c * (32 * C)
 
             # -- chunk-start recompute: on-the-fly DP diff -------------------
             def do_recompute(up, dw):
@@ -498,7 +504,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # contiguous-row gathers from the bank's cost slab -
                 # the same semantics as the reference's per-op
                 # compute_delta_page (video.py:275-301)
-                rows = pages * C + content  # (K,)
+                rows = slab_base + pages * C + content  # (K,)
                 sc_row = jnp.take(sc_all, rows, axis=0).astype(
                     jnp.float32)  # (K, 256)
                 # eligible: still-pending offset (up>0 also excludes
@@ -617,7 +623,8 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
               step_recompute, step_nvalid, step_slab)
         xs = jax.tree.map(
             lambda a: a.reshape((-1, Sc) + a.shape[1:]), xs)
-        final, ops = jax.lax.scan(chunk_body, state0, xs)
+        final, ops = jax.lax.scan(chunk_body, state0, xs,
+                                  unroll=_SCAN_UNROLL)
         ops = ops.reshape((-1,) + ops.shape[2:])  # (S, K*j, 6)
         if return_state:
             return ops, final
@@ -689,7 +696,8 @@ def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
     from iivision_tpu.aot import aot_jit
     return aot_jit(_build_encode_scan(mode, k, deterministic, j,
                                       chunk_steps),
-                   ("encode", mode.name, k, deterministic, j, chunk_steps))
+                   ("encode", mode.name, k, deterministic, j, chunk_steps,
+                    _SCAN_UNROLL))
 
 
 FETCH_SPLITS = 4  # concurrent tunnel streams for the solo ops fetch
@@ -702,7 +710,8 @@ def _jitted_frames_encode(mode: VideoMode, k: int, deterministic: bool,
     return aot_jit(
         _build_encode_scan(mode, k, deterministic, j,
                            chunk_steps).full_frames,
-        ("encode_frames", mode.name, k, deterministic, j, chunk_steps))
+        ("encode_frames", mode.name, k, deterministic, j,
+         chunk_steps, _SCAN_UNROLL))
 
 
 @functools.lru_cache(None)
@@ -711,7 +720,8 @@ def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
     from iivision_tpu.aot import aot_jit
     return aot_jit(
         _build_encode_scan(mode, k, deterministic, j, chunk_steps).chunk,
-        ("encode_chunk", mode.name, k, deterministic, j, chunk_steps))
+        ("encode_chunk", mode.name, k, deterministic, j, chunk_steps,
+         _SCAN_UNROLL))
 
 
 def _bucket_steps(n: int, chunk_steps: int) -> int:

@@ -131,6 +131,22 @@ def dist_window_sums(wa, wb, subs):
     return d.sum(axis=-1)
 
 
+def dist_window_sums_sub2(wa, wb, subs2):
+    """dist_window_sums with a leading stack axis carrying its own subs.
+
+    wa, wb: (S, ..., L) window codes; subs2: (S, L, 128, 128) costs.
+    Bit-identical to stacking S separate dist_window_sums calls (the
+    einsum is elementwise over the leading axis) - used to run both of a
+    bank's lanes through one call in the encoder's chunk recompute.
+    """
+    xp = screen._xp(wa)
+    eye = xp.arange(128, dtype=wa.dtype)
+    oa = (wa[..., None] == eye).astype(subs2.dtype)
+    ob = (wb[..., None] == eye).astype(subs2.dtype)
+    d = xp.einsum("s...ki,skij,s...kj->s...k", oa, subs2, ob)
+    return d.sum(axis=-1)
+
+
 def dist_lane_pairs(va, vb, mode: VideoMode, lane: int, sub16):
     """Distance between masked-lane value arrays (elementwise pairs).
 
