@@ -45,7 +45,9 @@ def main():
     plan, _ = encoder.plan_movie(
         n_frames=n_frames, n_audio_ticks=int(CLIP_SECONDS * 14700),
         input_frame_rate=FPS, ticks_per_second=14700.0,
-        every_n_video_frames=2, mode=mode, k=16, j=4)
+        every_n_video_frames=2, mode=mode,
+        k=int(os.environ.get("IIVISION_DIAG_K", "16")),
+        j=int(os.environ.get("IIVISION_DIAG_J", "4")))
     (sf, sb, sr, sn), _ = encoder.pad_plan_steps(plan)
     F_enc = -(-n_frames // 2)
 
