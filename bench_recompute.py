@@ -22,8 +22,8 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
 
 import numpy as np
 
-VARIANTS = ["full"]
-B = 32
+VARIANTS = os.environ.get("IIVISION_DIAG_VARIANTS", "full").split(";")
+B = int(os.environ.get("IIVISION_DIAG_B", "32"))
 REPS = 3
 
 

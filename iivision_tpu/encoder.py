@@ -20,10 +20,11 @@ TPU redesign, three layers:
    updates are one-hot MXU contractions and dense masked writes.
 
 3. Amortised distance work.  Store costs depend only on (target lane
-   window, content): a small store-cost table (ops/distance.py).  At each
-   (frame, bank) chunk start the scan gathers the bank's full cost slab
-   sc[page, offset, content] into state (contiguous-row gathers from the
-   small table); every step then ranks companion offsets for its (page,
+   window, content): a small store-cost table (ops/distance.py).  Each
+   scan body gathers the active bank's full cost slab
+   sc[page, offset, content] (contiguous-row gathers from the small
+   table; when chunks span several bodies a both-bank pair is carried in
+   state instead); every step then ranks companion offsets for its (page,
    content) pairs against the LIVE diff with two one-hot MXU contractions
    + three masked argmaxes - the same per-op companion semantics as the
    reference's compute_delta_page (reference video.py:275-301,
@@ -272,10 +273,13 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
     diag: comma-separated ablations for perf diagnostics ONLY (outputs are
     wrong under any of them): "nodp" zeroes the chunk-start diff DP,
-    "noslab" keeps the carried cost slab instead of rebuilding it,
+    "noslab" skips the slab build (zeros / keeps the carried slab),
+    "cheapslab" writes a same-shape slab without the table gather,
     "nolanes" diffs the target against itself (skips the current-screen
-    lane derivation).  bench_recompute.py times these to attribute the
-    recompute cost; production callers never pass diag.
+    lane derivation), "carryslab" forces the carried-pair slab strategy
+    even for single-body chunks (A/B vs the per-body rebuild).
+    bench_recompute.py times these to attribute the recompute cost;
+    production callers never pass diag.
 
     k = pages selected per step; j = ops emitted per selected page per
     step (sequential sub-ops on the extracted page rows - each sees the
@@ -301,6 +305,16 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
     n_banks = 2 if mode == VideoMode.DHGR else 1
     C = distance.n_contents(mode)
     holes_i = jnp.asarray((~screen.SCREEN_HOLES).astype(np.int32))
+    # chunk_steps < BODY_CAP means every (frame, bank) chunk fits exactly
+    # one scan body, so the active bank's slab is a pure function of the
+    # body's plan scalars and can be rebuilt per body instead of carried:
+    # no lax.cond pass-through and no 4MB pair in the while-loop carry
+    # (XLA inserts a full-slab copy there EVERY body - measured 0.35s of
+    # the 1.13s B=32 encode, RECOMPUTE_DIAG.jsonl cheapslab-noslab).  The
+    # extra gathers (active bank per body vs both banks per frame) cost
+    # less than the copies.  Long chunks (chunk_steps == BODY_CAP, e.g.
+    # small K*J or HGR's 1000-op frame chunks) keep the carried pair.
+    slab_body = chunk_steps < BODY_CAP and "carryslab" not in diag
 
     def lanes_of(banks):
         if mode == VideoMode.DHGR:
@@ -383,6 +397,29 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         return (jnp.stack([se, so], axis=2).reshape(32, 256, C)
                 .transpose(0, 2, 1).reshape(32 * C, 256))
 
+    def build_sc_bank_dyn(tgt_lanes, store_cost16, bank):
+        """The ACTIVE bank's cost slab with the bank chosen by VALUE.
+
+        Same values as build_sc_bank(tgt_lanes, ., bank) bit-for-bit: the
+        lane selects are on the tiny (32,128) index arrays and the lane id
+        becomes a row-base into the flattened per-lane tables, so the two
+        gathers themselves read identical rows.  Used by the per-body slab
+        rebuild, where `bank` is a traced plan scalar."""
+        if n_banks == 1:
+            return build_sc_bank(tgt_lanes, store_cost16, 0)
+        (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
+        is_aux = bank == 1
+        R = store_cost16.shape[1]
+        flat = store_cost16.reshape(-1, C)
+        ve = jnp.where(is_aux, ae * R + tgt_lanes[..., ae],
+                       me * R + tgt_lanes[..., me])
+        vo = jnp.where(is_aux, ao * R + tgt_lanes[..., ao],
+                       mo * R + tgt_lanes[..., mo])
+        se = jnp.take(flat, ve.reshape(-1), axis=0).reshape(32, 128, C)
+        so = jnp.take(flat, vo.reshape(-1), axis=0).reshape(32, 128, C)
+        return (jnp.stack([se, so], axis=2).reshape(32, 256, C)
+                .transpose(0, 2, 1).reshape(32 * C, 256))
+
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
                     step_frame, step_bank, step_recompute,
                     step_nvalid, key,
@@ -395,15 +432,18 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                              "chunk length (%d)" % (S, Sc))
         zero = jnp.zeros((n_banks, 32, 256), jnp.int32)
         if init_state is None:
-            state0 = dict(banks=zero, up=zero, dw=zero,
-                          sc=jnp.zeros((n_banks, 32 * C, 256), jnp.int16))
+            state0 = dict(banks=zero, up=zero, dw=zero)
+            if not slab_body:
+                state0["sc"] = jnp.zeros((n_banks, 32 * C, 256), jnp.int16)
         else:
             state0 = dict(init_state)
-        # the cost-slab pair is rebuilt only where the chunk's FRAME
-        # differs from the previous step's (plus step 0 - fresh or carried
-        # segment state): a bank flip reuses the carried pair.  Derived
-        # from the plan arrays, which are UNBATCHED under vmap (in_axes
-        # None), so the rebuild cond stays a real cond - a batched
+            if slab_body:
+                state0.pop("sc", None)
+        # carry mode: the cost-slab pair is rebuilt only where the chunk's
+        # FRAME differs from the previous step's (plus step 0 - fresh or
+        # carried segment state): a bank flip reuses the carried pair.
+        # Derived from the plan arrays, which are UNBATCHED under vmap
+        # (in_axes None), so the rebuild cond stays a real cond - a batched
         # predicate would lower to a select running the gather every body.
         step_slab = jnp.concatenate([
             jnp.ones((1,), bool),
@@ -414,11 +454,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
         def chunk_body(state, xs):
             # each (Sc,)
-            step_is, frames_x, banks_x, recs_x, nvalids_x, slabs_x = xs
+            (step_is, frames_x, banks_x, recs_x, nvalids_x), slabs_x = \
+                xs[:5], xs[5:]
             frame = frames_x[0]
             bank = banks_x[0]
             recompute = recs_x[0]
-            slab_rebuild = slabs_x[0]
             tl = lanes_tgt[frame]  # (32, 128, n_lanes)
             tb = bytes_tgt[frame, bank]  # (32, 256) int32
             bank_c = jnp.clip(bank, 0, n_banks - 1)
@@ -430,27 +470,44 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             by_b = jax.lax.dynamic_index_in_dim(
                 state["banks"], bank_c, 0, keepdims=False)
 
-            # -- frame-start slab rebuild (both banks) ----------------------
-            def do_slab(_):
+            if slab_body:
+                # -- per-body ACTIVE-bank slab rebuild (no carry, no cond):
+                # a pure function of this body's (frame, bank), values
+                # bit-identical to the carried pair's active rows
                 if "noslab" in diag:
-                    return state["sc"]
-                if "cheapslab" in diag:
+                    slab = jnp.zeros((32 * C, 256), jnp.int16)
+                elif "cheapslab" in diag:
                     # same-shape slab write WITHOUT the table gather:
-                    # isolates gather cost vs carried-slab write cost
-                    return (jnp.broadcast_to(
+                    # isolates gather cost vs slab write cost
+                    slab = (jnp.broadcast_to(
                         tl[:, :1, 0].astype(jnp.int16),
-                        (32, 32 * C // 32)).reshape(-1)[None, :, None]
-                        + jnp.arange(256, dtype=jnp.int16)
-                    ) + jnp.zeros((n_banks, 1, 1), jnp.int16)
-                return jnp.stack([build_sc_bank(tl, store_cost16, b)
-                                  for b in range(n_banks)])
+                        (32, C)).reshape(-1)[:, None]
+                        + jnp.arange(256, dtype=jnp.int16))
+                else:
+                    slab = build_sc_bank_dyn(tl, store_cost16, bank_c)
+                slab_base = 0
+            else:
+                # -- frame-start slab rebuild (both banks) ------------------
+                def do_slab(_):
+                    if "noslab" in diag:
+                        return state["sc"]
+                    if "cheapslab" in diag:
+                        # same-shape slab write WITHOUT the table gather:
+                        # isolates gather cost vs carried-slab write cost
+                        return (jnp.broadcast_to(
+                            tl[:, :1, 0].astype(jnp.int16),
+                            (32, 32 * C // 32)).reshape(-1)[None, :, None]
+                            + jnp.arange(256, dtype=jnp.int16)
+                        ) + jnp.zeros((n_banks, 1, 1), jnp.int16)
+                    return jnp.stack([build_sc_bank(tl, store_cost16, b)
+                                      for b in range(n_banks)])
 
-            sc_pair = jax.lax.cond(slab_rebuild, do_slab,
-                                   lambda _: state["sc"], 0)
-            # index the active bank's rows by a base offset instead of
-            # materialising a 2MB dynamic slice of the pair every body
-            slab = sc_pair.reshape(n_banks * 32 * C, 256)
-            slab_base = bank_c * (32 * C)
+                sc_pair = jax.lax.cond(slabs_x[0][0], do_slab,
+                                       lambda _: state["sc"], 0)
+                # index the active bank's rows by a base offset instead of
+                # materialising a 2MB dynamic slice of the pair every body
+                slab = sc_pair.reshape(n_banks * 32 * C, 256)
+                slab_base = bank_c * (32 * C)
 
             # -- chunk-start recompute: on-the-fly DP diff -------------------
             def do_recompute(up, dw):
@@ -504,7 +561,12 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # contiguous-row gathers from the bank's cost slab -
                 # the same semantics as the reference's per-op
                 # compute_delta_page (video.py:275-301)
-                rows = slab_base + pages * C + content  # (K,)
+                # DHGR content is 7-bit for COST purposes (palette bit
+                # unused, reference video.py:135-137): mask the slab row
+                # index so a raw .BIN byte with the MSB set can't index
+                # out of the active bank's rows (the emitted byte stays
+                # raw, as the reference stores it)
+                rows = slab_base + pages * C + (content & (C - 1))  # (K,)
                 sc_row = jnp.take(sc_all, rows, axis=0).astype(
                     jnp.float32)  # (K, 256)
                 # eligible: still-pending offset (up>0 also excludes
@@ -613,14 +675,17 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     state["up"], up_b.astype(jnp.int32), bank_c, 0),
                 dw=jax.lax.dynamic_update_index_in_dim(
                     state["dw"], dw_b.astype(jnp.int32), bank_c, 0),
-                sc=sc_pair,
             )
+            if not slab_body:
+                new_state["sc"] = sc_pair
             return new_state, recs_out  # (Sc, K*j, 6)
 
         if step_index is None:
             step_index = jnp.arange(S, dtype=jnp.int32)
         xs = (step_index, step_frame, step_bank,
-              step_recompute, step_nvalid, step_slab)
+              step_recompute, step_nvalid)
+        if not slab_body:
+            xs = xs + (step_slab,)
         xs = jax.tree.map(
             lambda a: a.reshape((-1, Sc) + a.shape[1:]), xs)
         final, ops = jax.lax.scan(chunk_body, state0, xs,
@@ -684,7 +749,9 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
             store_cost, sub, lanes_tgt, bytes_tgt, step_frame,
             step_bank, step_recompute, step_nvalid, key,
             step_index=step_index, init_state=init, return_state=True)
-        return ops, fin["banks"], fin["up"], fin["dw"], fin["sc"]
+        # per-body slab rebuild carries no sc: pass the caller's through
+        # (every segment's first body rebuilds it anyway)
+        return ops, fin["banks"], fin["up"], fin["dw"], fin.get("sc", sc0)
 
     full.chunk = chunk
     return full

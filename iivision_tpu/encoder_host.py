@@ -102,7 +102,10 @@ class HostEncoder:
 
             # companions: rank all offsets of the page against the LIVE
             # diff (mirrors the scan's slab contraction + 3 argmaxes)
-            sc_row = self.sc[pg, :, content]  # (256,)
+            # cost index masks the DHGR palette bit (reference
+            # video.py:135-137), matching the scan's slab row mask; the
+            # emitted byte stays raw
+            sc_row = self.sc[pg, :, content & (self.C - 1)]  # (256,)
             cscore = dw[pg] - sc_row
             elig = (up[pg] > 0) & (cscore > 0) \
                 & (np.arange(256) != off0)

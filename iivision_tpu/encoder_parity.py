@@ -82,7 +82,7 @@ class ReferenceOrderEncoder(HostEncoder):
 
             # companions: strict-improvement candidates of this page,
             # best-first with ties to lowest offset (zero nonce)
-            sc_row = self.sc[pg, :, content]
+            sc_row = self.sc[pg, :, content & (self.C - 1)]
             gain = dw[pg] - sc_row  # >0 iff the store improves the cell
             cands = [(-int(gain[o]), 0, int(o))
                      for o in np.nonzero(gain > 0)[0]]

@@ -78,8 +78,12 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
     Sc = int(plan.chunk_steps)
     bodies = S // Sc
     n_rec = int(plan.step_recompute.sum())
-    # slab rebuilds happen on frame CHANGES only (both banks at once);
-    # bank-flip chunks reuse the carried pair (encoder.py step_slab)
+    # slab strategy mirrors encoder.py's slab_body switch: single-body
+    # chunks rebuild the ACTIVE bank's slab every body (no carry, no
+    # cond); multi-body chunks carry a both-bank pair rebuilt on frame
+    # changes only
+    from iivision_tpu.encoder import BODY_CAP
+    slab_body = Sc < BODY_CAP
     sf = np.asarray(plan.step_frame)
     sr = np.asarray(plan.step_recompute)
     n_slab = int(1 + (sr[1:] & (sf[1:] != sf[:-1])).sum())
@@ -96,8 +100,13 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
     rec_flops = 2 * dp_flops + pix_flops + diff_post
     rec_bytes = 2 * 32 * 256 * 4 * 3  # banks read, lanes, diff arrays
     n_banks = 2 if mode == VideoMode.DHGR else 1
-    # frame-start slab rebuild, both banks: gathered table rows + write
-    slab_bytes = n_banks * 32 * 256 * C * 2 * 2
+    if slab_body:
+        # per-body ACTIVE-bank rebuild: gathered table rows + write
+        n_slab = bodies
+        slab_bytes = 32 * 256 * C * 2 * 2
+    else:
+        # frame-start rebuild, both banks: gathered table rows + write
+        slab_bytes = n_banks * 32 * 256 * C * 2 * 2
 
     # --- per-step selection math (per movie) -------------------------------
     extract = 2 * k * 32 * 1024  # one-hot page-row extraction matmul
@@ -111,8 +120,9 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
 
     # --- scan carry (per body, per movie) -----------------------------------
     state_bytes = 3 * 32 * 256 * 4 * 2  # active-bank up/dw/banks read+write
-    # carried slab pair read+write if XLA copies it per body
-    slab_carry = n_banks * 32 * C * 256 * 2 * 2
+    # carried slab pair read+write if XLA copies it per body (carry mode
+    # only: per-body rebuild keeps the slab out of the while-loop carry)
+    slab_carry = 0 if slab_body else n_banks * 32 * C * 256 * 2 * 2
 
     per_movie_flops = n_rec * rec_flops + S * step_flops
     per_movie_min = (n_rec * rec_bytes + n_slab * slab_bytes

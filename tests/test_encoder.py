@@ -178,6 +178,42 @@ def test_scan_converges_on_constant_frame():
     assert np.all(tail[:, 2:] == 0)
 
 
+@pytest.mark.parametrize("raw_msb", [False, True])
+def test_slab_body_matches_carried_pair(raw_msb):
+    """The per-body active-bank slab rebuild (encoder.py slab_body, used
+    when every chunk fits one scan body) is bit-identical to the carried
+    both-bank pair it replaced - including on raw .BIN-style DHGR bytes
+    with the palette MSB set, where the cost row index masks the unused
+    bit (reference video.py:135-137)."""
+    import jax
+
+    mode = VideoMode.DHGR
+    dist = get_dist(mode)
+    rng = np.random.RandomState(5)
+    n_frames = 4
+    hi = 0x100 if raw_msb else 0x80
+    fmain = rng.randint(0, hi, size=(n_frames, 32, 256)).astype(np.uint8)
+    faux = rng.randint(0, hi, size=(n_frames, 32, 256)).astype(np.uint8)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=n_frames, n_audio_ticks=2000, input_frame_rate=29.4,
+        ticks_per_second=14700.0, every_n_video_frames=1, mode=mode,
+        k=16, j=4)
+    assert plan.chunk_steps < encoder.BODY_CAP  # body mode engages
+    (sf, sb, sr, sn), _ = encoder.pad_plan_steps(plan)
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+    import jax.numpy as jnp
+    args = (jnp.asarray(dist.store_cost), jnp.asarray(dist.sub),
+            lanes_tgt, bytes_tgt, jnp.asarray(sf), jnp.asarray(sb),
+            jnp.asarray(sr), jnp.asarray(sn), jax.random.PRNGKey(9))
+    outs = {}
+    for diag in ("", "carryslab"):
+        scan = encoder._build_encode_scan(mode, plan.k, False, plan.j,
+                                          plan.chunk_steps, diag=diag)
+        outs[diag] = [np.asarray(o) for o in jax.jit(scan)(*args)]
+    for got, want in zip(outs[""], outs["carryslab"]):
+        assert np.array_equal(got, want)
+
+
 @pytest.mark.parametrize("mode,seed,chunk,j", [
     (VideoMode.DHGR, None, 2, 1),
     (VideoMode.DHGR, 7, 3, 1),

@@ -31,7 +31,12 @@ def test_cost_model_basics():
         plan = _plan(mode)
         c = roofline.encode_cost(_padded(plan), mode, batch=8)
         assert c.flops > 0 and c.hbm_bytes_min > 0
-        assert c.hbm_bytes_max > c.hbm_bytes_min  # slab-carry band is real
+        if plan.chunk_steps < encoder.BODY_CAP:
+            # per-body slab rebuild: nothing carried, no copy ambiguity
+            assert c.hbm_bytes_max == c.hbm_bytes_min
+        else:
+            # carried pair: the XLA copy-per-body band is real
+            assert c.hbm_bytes_max > c.hbm_bytes_min
         assert 0.0 < c.flops_recompute < c.flops
         assert c.n_chunks == int(np.asarray(
             _padded(plan).step_recompute).sum())
