@@ -1,0 +1,174 @@
+"""Pallas vs XLA micro-benchmark of the encoder's sub-op selection math.
+
+The batched encode's floor is the sequential sub-op chain: with the
+chunk-start recompute ablated (diag nodp,noslab) the B=32 scan still
+spends ~29us per sub-op, and the roofline says neither MXU nor HBM is
+near saturation - the cost is the latency of the ~12 dependent fused
+kernels a sub-op lowers to (argmax -> one-hot -> reductions -> masked
+updates, three companion rounds).  ROADMAP round-6 candidate 2 claims a
+VMEM-resident Pallas chunk body is the speed-of-light fix; this tool
+measures the claim's core: the SAME selection math, T sequential
+iterations, as
+
+  xla:    jax.lax.scan over one fused-by-XLA sub-op body
+  pallas: ONE kernel holding state in VMEM, fori_loop over T sub-ops
+
+Both run the identical computation on identical (B*K, 256) f32 state
+(primary argmax with nonce tie-break, content extraction, 3 companion
+argmax rounds against a stand-in cost row, gated state updates).  The
+slab gather and diff DP are deliberately OUT of scope (they are
+HBM-structural, measured separately in RECOMPUTE_DIAG.jsonl); this
+isolates the latency floor the Pallas rewrite would remove.
+
+Appends one JSON line per variant to SUBOP_PALLAS.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
+import numpy as np
+
+B = int(os.environ.get("IIVISION_SUBOP_B", "32"))
+K = int(os.environ.get("IIVISION_SUBOP_K", "16"))
+T = int(os.environ.get("IIVISION_SUBOP_T", "1000"))
+REPS = 3
+
+
+def _sub_op_math(up, dw, by, tb, jj):
+    """One sub-op's selection math (mirrors encoder.py sub_op, with the
+    slab row stand-in sc_row = by * 0.5 + 1: same shapes, same dependent
+    chain, no gather)."""
+    import jax.numpy as jnp
+    import jax
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, up.shape, 1)
+    nonce = ((jj * 507279793 + iota * 40503) & 0xffff).astype(
+        jnp.float32) * (255.0 / 65535.0)
+    off_score = up * 256.0 + nonce
+    offset0 = jnp.argmax(off_score, axis=1)
+    oh0 = (offset0[:, None] == iota).astype(jnp.float32)
+    content = jnp.sum(tb * oh0, axis=1)
+
+    sc_row = by * 0.5 + 1.0
+    score = dw - sc_row
+    elig = (up > 0.0) & (score > 0.0) & (iota != offset0[:, None])
+    sl = jnp.where(elig, score, -1.0)
+    acc = jnp.zeros_like(up)
+    resid = jnp.zeros_like(up)
+    for _ in range(3):
+        o = jnp.argmax(sl, axis=1)
+        oh = (o[:, None] == iota).astype(jnp.float32)
+        hit = (jnp.sum(sl * oh, axis=1) > 0.0).astype(jnp.float32)
+        acc = acc + oh * hit[:, None]
+        resid = resid + oh * (jnp.sum(sc_row * oh, axis=1)
+                              * hit)[:, None]
+        sl = jnp.where(oh > 0, -1.0, sl)
+
+    real = (jnp.max(up, axis=1) > 0.0).astype(jnp.float32)[:, None]
+    umask = (oh0 + acc) * real
+    up = up * (1.0 - umask) + resid * real
+    dw = dw * (1.0 - oh0 * real)
+    by = by * (1.0 - umask) + umask * content[:, None]
+    return up, dw, by
+
+
+def main():
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = B * K
+    rng = np.random.RandomState(0)
+
+    def fresh(salt):
+        r = np.random.RandomState(salt)
+        return [jnp.asarray(r.rand(R, 256).astype(np.float32) * s)
+                for s in (100.0, 50.0, 30.0, 20.0)]
+
+    # --- XLA: lax.scan over the sub-op body --------------------------------
+    # both variants return a SCALAR digest: fetching it proves execution
+    # (on this backend block_until_ready can return before the remote run;
+    # fetching full arrays would time the ~16MB/s tunnel instead)
+    @jax.jit
+    def run_xla(up, dw, by, tb):
+        def body(carry, jj):
+            up, dw, by = carry
+            up, dw, by = _sub_op_math(up, dw, by, tb, jj)
+            return (up, dw, by), ()
+        (up, dw, by), _ = jax.lax.scan(
+            body, (up, dw, by), jnp.arange(T, dtype=jnp.int32))
+        return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+
+    # --- Pallas: one kernel, state in VMEM, fori_loop over T ---------------
+    def kernel(up_ref, dw_ref, by_ref, tb_ref, out_up, out_dw, out_by):
+        tb = tb_ref[:]
+
+        def body(jj, carry):
+            up, dw, by = carry
+            return _sub_op_math(up, dw, by, tb, jj)
+
+        up, dw, by = jax.lax.fori_loop(
+            0, T, body, (up_ref[:], dw_ref[:], by_ref[:]))
+        out_up[:] = up
+        out_dw[:] = dw
+        out_by[:] = by
+
+    @jax.jit
+    def run_pallas(up, dw, by, tb):
+        up, dw, by = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((R, 256), jnp.float32)] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        )(up, dw, by, tb)
+        return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+
+    variants = {"xla": run_xla, "pallas": run_pallas}
+    results = {}
+    outs = {}
+    for name, fn in variants.items():
+        try:
+            t0 = time.time()
+            float(fn(*fresh(1)))  # fetch: proves remote execution
+            compile_s = time.time() - t0
+            best = 1e9
+            for rep in range(REPS):
+                args = fresh(100 + rep)
+                t0 = time.time()
+                v = float(fn(*args))
+                best = min(best, time.time() - t0)
+            outs[name] = float(fn(*fresh(999)))
+            results[name] = best
+            rec = {"variant": name, "best_s": round(best, 5),
+                   "us_per_subop": round(best / T * 1e6, 2),
+                   "compile_s": round(compile_s, 1),
+                   "B": B, "K": K, "T": T, "ts": time.time()}
+            log(json.dumps(rec))
+            with open("SUBOP_PALLAS.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        except Exception as e:  # record failures too (backend support)
+            rec = {"variant": name, "error": "%s: %s" % (type(e).__name__,
+                                                         str(e)[:300]),
+                   "B": B, "K": K, "T": T, "ts": time.time()}
+            log(json.dumps(rec))
+            with open("SUBOP_PALLAS.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    if "xla" in outs and "pallas" in outs:
+        log("digests: xla=%r pallas=%r equal=%s"
+            % (outs["xla"], outs["pallas"],
+               outs["xla"] == outs["pallas"]))
+        if results.get("pallas"):
+            log("speedup: %.1fx (%.1fus -> %.1fus per sub-op)"
+                % (results["xla"] / results["pallas"],
+                   results["xla"] / T * 1e6, results["pallas"] / T * 1e6))
+
+
+if __name__ == "__main__":
+    main()
