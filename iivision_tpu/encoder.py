@@ -271,13 +271,17 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                        j: int = 1, chunk_steps: int = 1, diag: str = ""):
     """Construct the whole-movie encode function for (mode, K, J).
 
-    diag: comma-separated ablations for perf diagnostics ONLY (outputs are
-    wrong under any of them): "nodp" zeroes the chunk-start diff DP,
-    "noslab" skips the slab build (zeros / keeps the carried slab),
-    "cheapslab" writes a same-shape slab without the table gather,
-    "nolanes" diffs the target against itself (skips the current-screen
-    lane derivation), "carryslab" forces the carried-pair slab strategy
-    even for single-body chunks (A/B vs the per-body rebuild).
+    diag: comma-separated perf-diagnostic knobs.  Ablations whose outputs
+    are WRONG: "nodp" zeroes the chunk-start diff DP, "noslab" skips the
+    slab build (zeros / keeps the carried slab), "cheapslab" writes a
+    same-shape slab without the table gather, "nolanes" diffs the target
+    against itself (skips the current-screen lane derivation),
+    "norowgather" replaces the per-sub-op slab row gather with a
+    same-shape stand-in (attributes the gather's share of the sub-op
+    latency floor).
+    "carryslab" is different: it forces the carried-pair slab strategy
+    even for single-body chunks and is BIT-EXACT (the per-body rebuild
+    produces identical values - tests/test_encoder.py pins it).
     bench_recompute.py times these to attribute the recompute cost;
     production callers never pass diag.
 
@@ -387,13 +391,20 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         rebuild's table gather was measured at 46% of the whole batched
         encode, RECOMPUTE_DIAG.jsonl).
         """
-        def lane_sc(tab, vals):
-            return jnp.take(tab, vals.reshape(-1),
-                            axis=0).reshape(32, 128, C)
-
+        R = store_cost16.shape[1]
         le, lo = bank_lane_pair(bank_idx)
-        se = lane_sc(store_cost16[le], tgt_lanes[..., le])
-        so = lane_sc(store_cost16[lo], tgt_lanes[..., lo])
+        return _sc_slab(store_cost16,
+                        le * R + tgt_lanes[..., le],
+                        lo * R + tgt_lanes[..., lo])
+
+    def _sc_slab(store_cost16, rows_e, rows_o):
+        """(32*C, 256) slab from flat per-position table row indices -
+        the one place that knows the even/odd offset interleave layout."""
+        flat = store_cost16.reshape(-1, C)
+        se = jnp.take(flat, rows_e.reshape(-1),
+                      axis=0).reshape(32, 128, C)
+        so = jnp.take(flat, rows_o.reshape(-1),
+                      axis=0).reshape(32, 128, C)
         return (jnp.stack([se, so], axis=2).reshape(32, 256, C)
                 .transpose(0, 2, 1).reshape(32 * C, 256))
 
@@ -410,15 +421,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         (ae, ao), (me, mo) = bank_lane_pair(1), bank_lane_pair(0)
         is_aux = bank == 1
         R = store_cost16.shape[1]
-        flat = store_cost16.reshape(-1, C)
         ve = jnp.where(is_aux, ae * R + tgt_lanes[..., ae],
                        me * R + tgt_lanes[..., me])
         vo = jnp.where(is_aux, ao * R + tgt_lanes[..., ao],
                        mo * R + tgt_lanes[..., mo])
-        se = jnp.take(flat, ve.reshape(-1), axis=0).reshape(32, 128, C)
-        so = jnp.take(flat, vo.reshape(-1), axis=0).reshape(32, 128, C)
-        return (jnp.stack([se, so], axis=2).reshape(32, 256, C)
-                .transpose(0, 2, 1).reshape(32 * C, 256))
+        return _sc_slab(store_cost16, ve, vo)
 
     def encode_scan(store_cost, sub, lanes_tgt, bytes_tgt,
                     step_frame, step_bank, step_recompute,
@@ -445,9 +452,10 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         # Derived from the plan arrays, which are UNBATCHED under vmap
         # (in_axes None), so the rebuild cond stays a real cond - a batched
         # predicate would lower to a select running the gather every body.
-        step_slab = jnp.concatenate([
-            jnp.ones((1,), bool),
-            step_recompute[1:] & (step_frame[1:] != step_frame[:-1])])
+        if not slab_body:
+            step_slab = jnp.concatenate([
+                jnp.ones((1,), bool),
+                step_recompute[1:] & (step_frame[1:] != step_frame[:-1])])
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
@@ -567,8 +575,15 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # out of the active bank's rows (the emitted byte stays
                 # raw, as the reference stores it)
                 rows = slab_base + pages * C + (content & (C - 1))  # (K,)
-                sc_row = jnp.take(sc_all, rows, axis=0).astype(
-                    jnp.float32)  # (K, 256)
+                if "norowgather" in diag:
+                    # diag ONLY (wrong outputs): same-shape stand-in to
+                    # attribute the dynamic row gather's share of the
+                    # sub-op latency floor
+                    sc_row = by_p * 0.5 + rows[:, None].astype(
+                        jnp.float32)
+                else:
+                    sc_row = jnp.take(sc_all, rows, axis=0).astype(
+                        jnp.float32)  # (K, 256)
                 # eligible: still-pending offset (up>0 also excludes
                 # screen holes, which never take priority) that the
                 # store improves

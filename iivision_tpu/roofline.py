@@ -84,9 +84,6 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
     # changes only
     from iivision_tpu.encoder import BODY_CAP
     slab_body = Sc < BODY_CAP
-    sf = np.asarray(plan.step_frame)
-    sr = np.asarray(plan.step_recompute)
-    n_slab = int(1 + (sr[1:] & (sf[1:] != sf[:-1])).sum())
     cells = 32 * 128  # per-lane (page, offset-pair) cells
 
     # --- chunk-start recompute (per occurrence, per movie) -----------------
@@ -105,7 +102,10 @@ def encode_cost(plan, mode: VideoMode, batch: int = 1) -> EncodeCost:
         n_slab = bodies
         slab_bytes = 32 * 256 * C * 2 * 2
     else:
-        # frame-start rebuild, both banks: gathered table rows + write
+        # carried pair rebuilt on frame CHANGES only, both banks
+        sf = np.asarray(plan.step_frame)
+        sr = np.asarray(plan.step_recompute)
+        n_slab = int(1 + (sr[1:] & (sf[1:] != sf[:-1])).sum())
         slab_bytes = n_banks * 32 * 256 * C * 2 * 2
 
     # --- per-step selection math (per movie) -------------------------------

@@ -20,6 +20,11 @@ slab gather and diff DP are deliberately OUT of scope (they are
 HBM-structural, measured separately in RECOMPUTE_DIAG.jsonl); this
 isolates the latency floor the Pallas rewrite would remove.
 
+T is SWEPT and each variant's wall time fitted as intercept + slope*T:
+the tunneled backend adds a fixed ~30-60ms dispatch+fetch cost per call
+(SOLO_FLOOR.jsonl), and only the slope extrapolates to the production
+scan, which amortises one dispatch over ~13k sequential sub-ops.
+
 Appends one JSON line per variant to SUBOP_PALLAS.jsonl.
 """
 
@@ -34,7 +39,13 @@ import numpy as np
 
 B = int(os.environ.get("IIVISION_SUBOP_B", "32"))
 K = int(os.environ.get("IIVISION_SUBOP_K", "16"))
-T = int(os.environ.get("IIVISION_SUBOP_T", "1000"))
+# sweep T and fit a slope: a single T point conflates the tunneled
+# backend's fixed per-dispatch+fetch intercept (~30-60ms, see
+# SOLO_FLOOR.jsonl) with the marginal per-sub-op cost - the marginal
+# cost is what extrapolates to the production scan, which amortises ONE
+# dispatch over ~13k sequential sub-ops
+TS = [int(t) for t in os.environ.get(
+    "IIVISION_SUBOP_TS", "100,400,1000").split(",")]
 REPS = 3
 
 
@@ -84,90 +95,113 @@ def main():
     from jax.experimental.pallas import tpu as pltpu
 
     R = B * K
-    rng = np.random.RandomState(0)
 
     def fresh(salt):
         r = np.random.RandomState(salt)
         return [jnp.asarray(r.rand(R, 256).astype(np.float32) * s)
                 for s in (100.0, 50.0, 30.0, 20.0)]
 
-    # --- XLA: lax.scan over the sub-op body --------------------------------
     # both variants return a SCALAR digest: fetching it proves execution
     # (on this backend block_until_ready can return before the remote run;
     # fetching full arrays would time the ~16MB/s tunnel instead)
-    @jax.jit
-    def run_xla(up, dw, by, tb):
-        def body(carry, jj):
-            up, dw, by = carry
-            up, dw, by = _sub_op_math(up, dw, by, tb, jj)
-            return (up, dw, by), ()
-        (up, dw, by), _ = jax.lax.scan(
-            body, (up, dw, by), jnp.arange(T, dtype=jnp.int32))
-        return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+    def make_xla(T):
+        @jax.jit
+        def run_xla(up, dw, by, tb):
+            def body(carry, jj):
+                up, dw, by = carry
+                up, dw, by = _sub_op_math(up, dw, by, tb, jj)
+                return (up, dw, by), ()
+            (up, dw, by), _ = jax.lax.scan(
+                body, (up, dw, by), jnp.arange(T, dtype=jnp.int32))
+            return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+        return run_xla
 
-    # --- Pallas: one kernel, state in VMEM, fori_loop over T ---------------
-    def kernel(up_ref, dw_ref, by_ref, tb_ref, out_up, out_dw, out_by):
-        tb = tb_ref[:]
+    def make_pallas(T):
+        def kernel(up_ref, dw_ref, by_ref, tb_ref, out_up, out_dw,
+                   out_by):
+            tb = tb_ref[:]
 
-        def body(jj, carry):
-            up, dw, by = carry
-            return _sub_op_math(up, dw, by, tb, jj)
+            def body(jj, carry):
+                up, dw, by = carry
+                return _sub_op_math(up, dw, by, tb, jj)
 
-        up, dw, by = jax.lax.fori_loop(
-            0, T, body, (up_ref[:], dw_ref[:], by_ref[:]))
-        out_up[:] = up
-        out_dw[:] = dw
-        out_by[:] = by
+            up, dw, by = jax.lax.fori_loop(
+                0, T, body, (up_ref[:], dw_ref[:], by_ref[:]))
+            out_up[:] = up
+            out_dw[:] = dw
+            out_by[:] = by
 
-    @jax.jit
-    def run_pallas(up, dw, by, tb):
-        up, dw, by = pl.pallas_call(
-            kernel,
-            out_shape=[jax.ShapeDtypeStruct((R, 256), jnp.float32)] * 3,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        )(up, dw, by, tb)
-        return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+        @jax.jit
+        def run_pallas(up, dw, by, tb):
+            up, dw, by = pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((R, 256),
+                                                jnp.float32)] * 3,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+                out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            )(up, dw, by, tb)
+            return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
+        return run_pallas
 
-    variants = {"xla": run_xla, "pallas": run_pallas}
-    results = {}
-    outs = {}
-    for name, fn in variants.items():
-        try:
-            t0 = time.time()
-            float(fn(*fresh(1)))  # fetch: proves remote execution
-            compile_s = time.time() - t0
-            best = 1e9
-            for rep in range(REPS):
-                args = fresh(100 + rep)
+    points = {"xla": [], "pallas": []}
+    digests = {}
+    for T in TS:
+        for name, make in (("xla", make_xla), ("pallas", make_pallas)):
+            fn = make(T)
+            try:
                 t0 = time.time()
-                v = float(fn(*args))
-                best = min(best, time.time() - t0)
-            outs[name] = float(fn(*fresh(999)))
-            results[name] = best
-            rec = {"variant": name, "best_s": round(best, 5),
-                   "us_per_subop": round(best / T * 1e6, 2),
-                   "compile_s": round(compile_s, 1),
-                   "B": B, "K": K, "T": T, "ts": time.time()}
-            log(json.dumps(rec))
-            with open("SUBOP_PALLAS.jsonl", "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        except Exception as e:  # record failures too (backend support)
-            rec = {"variant": name, "error": "%s: %s" % (type(e).__name__,
-                                                         str(e)[:300]),
-                   "B": B, "K": K, "T": T, "ts": time.time()}
-            log(json.dumps(rec))
-            with open("SUBOP_PALLAS.jsonl", "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                float(fn(*fresh(1)))  # fetch: proves remote execution
+                compile_s = time.time() - t0
+                best = 1e9
+                for rep in range(REPS):
+                    args = fresh(100 + rep)
+                    t0 = time.time()
+                    float(fn(*args))
+                    best = min(best, time.time() - t0)
+                digests.setdefault(T, {})[name] = float(fn(*fresh(999)))
+                points[name].append((T, best))
+                rec = {"variant": name, "best_s": round(best, 5),
+                       "us_per_subop_raw": round(best / T * 1e6, 2),
+                       "compile_s": round(compile_s, 1),
+                       "B": B, "K": K, "T": T, "ts": time.time()}
+                log(json.dumps(rec))
+                with open("SUBOP_PALLAS.jsonl", "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            except Exception as e:  # record failures (backend support)
+                rec = {"variant": name,
+                       "error": "%s: %s" % (type(e).__name__,
+                                            str(e)[:300]),
+                       "B": B, "K": K, "T": T, "ts": time.time()}
+                log(json.dumps(rec))
+                with open("SUBOP_PALLAS.jsonl", "a") as f:
+                    f.write(json.dumps(rec) + "\n")
 
-    if "xla" in outs and "pallas" in outs:
-        log("digests: xla=%r pallas=%r equal=%s"
-            % (outs["xla"], outs["pallas"],
-               outs["xla"] == outs["pallas"]))
-        if results.get("pallas"):
-            log("speedup: %.1fx (%.1fus -> %.1fus per sub-op)"
-                % (results["xla"] / results["pallas"],
-                   results["xla"] / T * 1e6, results["pallas"] / T * 1e6))
+    for T, d in sorted(digests.items()):
+        if len(d) == 2:
+            log("T=%d digests equal: %s" % (T, d["xla"] == d["pallas"]))
+
+    # fit time = intercept + slope*T per variant: the SLOPE is the
+    # marginal per-sub-op cost that extrapolates to the production scan
+    fits = {}
+    for name, pts in points.items():
+        if len(pts) >= 2:
+            ts = np.array([p[0] for p in pts], np.float64)
+            ys = np.array([p[1] for p in pts], np.float64)
+            slope, intercept = np.polyfit(ts, ys, 1)
+            fits[name] = (slope * 1e6, intercept * 1e3)
+            rec = {"variant": name, "fit": True,
+                   "us_per_subop_marginal": round(slope * 1e6, 2),
+                   "intercept_ms": round(intercept * 1e3, 1),
+                   "B": B, "K": K, "TS": TS, "ts": time.time()}
+            log(json.dumps(rec))
+            with open("SUBOP_PALLAS.jsonl", "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    if len(fits) == 2:
+        log("marginal speedup: %.1fx (%.1fus -> %.1fus per sub-op; "
+            "intercepts %.0f/%.0f ms)"
+            % (fits["xla"][0] / fits["pallas"][0],
+               fits["xla"][0], fits["pallas"][0],
+               fits["xla"][1], fits["pallas"][1]))
 
 
 if __name__ == "__main__":
