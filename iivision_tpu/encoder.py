@@ -278,7 +278,11 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
     against itself (skips the current-screen lane derivation),
     "norowgather" replaces the per-sub-op slab row gather with a
     same-shape stand-in (attributes the gather's share of the sub-op
-    latency floor).
+    latency floor).  BIT-EXACT strategy knobs (like "carryslab"):
+    "takex" extracts page rows with jnp.take instead of the one-hot
+    HIGHEST matmul, "scatterwb" writes them back with .at[pages].set -
+    both measured SLOWER at B=32 (-1% / -26%, BENCH_NOTES round-5), so
+    the matmul forms stay the default.
     "carryslab" is different: it forces the carried-pair slab strategy
     even for single-body chunks and is BIT-EXACT (the per-body rebuild
     produces identical values - tests/test_encoder.py pins it).
@@ -650,9 +654,14 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # TPU streams are bit-identical.
                 stacked = jnp.concatenate(
                     [up_b, dw_b, tb_f, by_b], axis=1)  # (32, 1024)
-                proj = jnp.dot(P, stacked,
-                               precision=jax.lax.Precision.HIGHEST,
-                               preferred_element_type=jnp.float32)
+                if "takex" in diag:
+                    # bit-exact alternative: row gather instead of the
+                    # 6-pass one-hot matmul (both are permutations)
+                    proj = jnp.take(stacked, pages, axis=0)
+                else:
+                    proj = jnp.dot(P, stacked,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
                 up_p, dw_p = proj[:, :256], proj[:, 256:512]
                 tb_p, by_p = proj[:, 512:768], proj[:, 768:]
 
@@ -666,14 +675,21 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                     jnp.arange(j, dtype=jnp.int32))
 
                 # -- whole-row write-back of the selected pages ---------
-                keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1)
-                back = jnp.concatenate([up_p, dw_p, by_p], axis=1)
-                wr = jnp.dot(P.T, back,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)
-                up_b = up_b * keep + wr[:, :256]
-                dw_b = dw_b * keep + wr[:, 256:512]
-                by_b = by_b * keep + wr[:, 512:]
+                if "scatterwb" in diag:
+                    # bit-exact alternative: scatter rows (pages are
+                    # distinct by top_k) instead of the one-hot matmul
+                    up_b = up_b.at[pages].set(up_p)
+                    dw_b = dw_b.at[pages].set(dw_p)
+                    by_b = by_b.at[pages].set(by_p)
+                else:
+                    keep = 1.0 - jnp.sum(P, axis=0)[:, None]  # (32, 1)
+                    back = jnp.concatenate([up_p, dw_p, by_p], axis=1)
+                    wr = jnp.dot(P.T, back,
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+                    up_b = up_b * keep + wr[:, :256]
+                    dw_b = dw_b * keep + wr[:, 256:512]
+                    by_b = by_b * keep + wr[:, 512:]
 
                 # emit order is sub-op-major: all pages' first ops, then
                 # their second ops, ... (matches the plan's nvalid)
