@@ -280,7 +280,11 @@ def main():
             log("pre-warm child timed out at %.0fs cap" % child_cap)
         log("pre-warm child: %.0fs (rc=%d)" % (time.time() - t0, rc))
         if rc != 0:
-            ok, detail = preflight(log, max_wait_s=180.0)
+            # wait with whatever budget remains beyond the measurement
+            # reserve - a 180s cap left ~800s unused when the backend
+            # flapped mid-pre-warm (2026-08-19 capture attempt)
+            ok, detail = preflight(
+                log, max_wait_s=max(180.0, budget_left() - 700.0))
             if not ok:
                 emit_result(0.0, {
                     "error": "backend died during pre-warm: " + detail})
