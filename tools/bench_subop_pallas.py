@@ -87,6 +87,45 @@ def _sub_op_math(up, dw, by, tb, jj):
     return up, dw, by
 
 
+def _sub_op_math_int(up, dw, by, tb, jj):
+    """Integer twin of _sub_op_math: same dependent chain, int32 compute
+    (values stay < 2^20, exact) - used by the int16-carry variant to
+    measure whether halving the carried-state bytes moves the sub-op
+    floor (ROADMAP round-6 candidate 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, up.shape, 1)
+    nonce = (jj * 507279793 + iota * 40503) & 0xffff
+    off_score = up * 65536 + nonce
+    offset0 = jnp.argmax(off_score, axis=1)
+    oh0 = offset0[:, None] == iota
+    content = jnp.sum(jnp.where(oh0, tb, 0), axis=1)
+
+    sc_row = by // 2 + 1
+    score = dw - sc_row
+    elig = (up > 0) & (score > 0) & (iota != offset0[:, None])
+    sl = jnp.where(elig, score, -1)
+    acc = jnp.zeros_like(oh0)
+    resid = jnp.zeros_like(up)
+    for _ in range(3):
+        o = jnp.argmax(sl, axis=1)
+        oh = o[:, None] == iota
+        hit = jnp.sum(jnp.where(oh, sl, 0), axis=1) > 0
+        take = oh & hit[:, None]
+        acc = acc | take
+        resid = resid + jnp.where(
+            take, jnp.sum(jnp.where(oh, sc_row, 0), axis=1)[:, None], 0)
+        sl = jnp.where(oh, -1, sl)
+
+    real = (jnp.max(up, axis=1) > 0)[:, None]
+    umask = (oh0 | acc) & real
+    up = jnp.where(umask, resid, up)
+    dw = jnp.where(oh0 & real, 0, dw)
+    by = jnp.where(umask, content[:, None], by)
+    return up, dw, by
+
+
 def main():
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
     import jax
@@ -116,6 +155,30 @@ def main():
             return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
         return run_xla
 
+    def make_xla_i16(T):
+        # int16 CARRY (half the scan-state bytes), int32 compute: the
+        # ROADMAP candidate-1 hypothesis that selection-state bandwidth
+        # sets part of the floor
+        @jax.jit
+        def run(up, dw, by, tb):
+            tb16 = (tb * 40.0).astype(jnp.int16)
+
+            def body(carry, jj):
+                u16, d16, b16 = carry
+                u, d, b = _sub_op_math_int(
+                    u16.astype(jnp.int32), d16.astype(jnp.int32),
+                    b16.astype(jnp.int32), tb16.astype(jnp.int32), jj)
+                return (u.astype(jnp.int16), d.astype(jnp.int16),
+                        b.astype(jnp.int16)), ()
+            init = tuple((a * 40.0).astype(jnp.int16)
+                         for a in (up, dw, by))
+            (u, d, b), _ = jax.lax.scan(
+                body, init, jnp.arange(T, dtype=jnp.int32))
+            return (jnp.sum(u.astype(jnp.int32))
+                    + jnp.sum(d.astype(jnp.int32))
+                    + jnp.sum(b.astype(jnp.int32))).astype(jnp.float32)
+        return run
+
     def make_pallas(T):
         def kernel(up_ref, dw_ref, by_ref, tb_ref, out_up, out_dw,
                    out_by):
@@ -143,10 +206,16 @@ def main():
             return jnp.sum(up) + jnp.sum(dw) + jnp.sum(by)
         return run_pallas
 
-    points = {"xla": [], "pallas": []}
+    makers = (("xla", make_xla), ("pallas", make_pallas),
+              ("xla_i16", make_xla_i16))
+    sel = os.environ.get("IIVISION_SUBOP_VARIANTS", "")
+    if sel:
+        want = sel.split(",")
+        makers = tuple(m for m in makers if m[0] in want)
+    points = {name: [] for name, _ in makers}
     digests = {}
     for T in TS:
-        for name, make in (("xla", make_xla), ("pallas", make_pallas)):
+        for name, make in makers:
             fn = make(T)
             try:
                 t0 = time.time()
@@ -177,7 +246,8 @@ def main():
                     f.write(json.dumps(rec) + "\n")
 
     for T, d in sorted(digests.items()):
-        if len(d) == 2:
+        if "xla" in d and "pallas" in d:
+            # (xla_i16 computes different values by design - no compare)
             log("T=%d digests equal: %s" % (T, d["xla"] == d["pallas"]))
 
     # fit time = intercept + slope*T per variant: the SLOPE is the
@@ -196,12 +266,14 @@ def main():
             log(json.dumps(rec))
             with open("SUBOP_PALLAS.jsonl", "a") as f:
                 f.write(json.dumps(rec) + "\n")
-    if len(fits) == 2:
-        log("marginal speedup: %.1fx (%.1fus -> %.1fus per sub-op; "
-            "intercepts %.0f/%.0f ms)"
-            % (fits["xla"][0] / fits["pallas"][0],
-               fits["xla"][0], fits["pallas"][0],
-               fits["xla"][1], fits["pallas"][1]))
+    if "xla" in fits:
+        for other in ("pallas", "xla_i16"):
+            if other in fits and fits[other][0] > 0:
+                log("%s vs xla marginal: %.2fx (%.1fus -> %.1fus per "
+                    "sub-op; intercepts %.0f/%.0f ms)"
+                    % (other, fits["xla"][0] / fits[other][0],
+                       fits["xla"][0], fits[other][0],
+                       fits["xla"][1], fits[other][1]))
 
 
 if __name__ == "__main__":
