@@ -71,6 +71,32 @@ struct Machine {
     uint8_t cout_buf[256];
     int64_t n_cout = 0;
 
+    // keyboard injection: scheduled (cycle, code) events.  A key becomes
+    // pending once `cycles` passes its threshold and stays latched (KBD
+    // bit7 set) until KBDSTRB, exactly like the hardware latch - this is
+    // how the player's pause/resume path (main.s recv: BIT KBD / BIT
+    // KBDSTRB) gets exercised.
+    const int64_t* key_cycles = nullptr;
+    const uint8_t* key_codes = nullptr;
+    int64_t n_keys = 0;
+    int64_t key_i = 0;
+    bool key_pending = false;
+
+    uint8_t kbd_read() {
+        if (!key_pending && key_i < n_keys
+                && cycles >= key_cycles[key_i]) {
+            key_pending = true;
+        }
+        return key_pending ? (uint8_t)(key_codes[key_i] | 0x80) : 0x00;
+    }
+
+    void kbd_strobe() {
+        if (key_pending) {
+            key_pending = false;
+            key_i++;
+        }
+    }
+
     bool aux_mapped(uint16_t addr) const {
         return store80 && hires && page2 && addr >= 0x2000 && addr < 0x4000;
     }
@@ -136,10 +162,10 @@ struct Machine {
     // --- IO page -------------------------------------------------------------
     uint8_t io_access(uint16_t addr, bool is_write, uint8_t v) {
         switch (addr) {
-            case 0xC000: return 0x00;  // KBD: no key pending
+            case 0xC000: return kbd_read();              // KBD
             case 0xC001: if (is_write) store80 = true; return 0;
             case 0xC00D: if (is_write) col80 = true; return 0;
-            case 0xC010: return 0;                       // KBDSTRB
+            case 0xC010: kbd_strobe(); return 0;         // KBDSTRB
             case 0xC030:                                 // TICK (speaker)
                 if (n_ticks < tick_cap) tick_cycles[n_ticks] = cycles;
                 n_ticks++;
@@ -510,7 +536,9 @@ extern "C" int64_t a2_run_mli(
         uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
         int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring,
         const uint8_t* mli_blob, const int64_t* mli_idx,
-        int64_t mli_nfiles, uint16_t mli_addr) {
+        int64_t mli_nfiles, uint16_t mli_addr,
+        const int64_t* key_cycles, const uint8_t* key_codes,
+        int64_t n_keys) {
     Machine m;
     m.main = main_mem;
     m.aux = aux_mem;
@@ -518,6 +546,9 @@ extern "C" int64_t a2_run_mli(
     m.stream_len = stream_len;
     m.tick_cycles = tick_cycles;
     m.tick_cap = tick_cap;
+    m.key_cycles = key_cycles;
+    m.key_codes = key_codes;
+    m.n_keys = n_keys;
 
     CPU cpu;
     cpu.m = &m;
@@ -717,10 +748,13 @@ extern "C" int64_t a2_run(
                           //  a, x, y, n_trace]
         uint16_t start_pc, uint16_t terminate_addr,
         uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
-        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring) {
+        int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring,
+        const int64_t* key_cycles, const uint8_t* key_codes,
+        int64_t n_keys) {
     return a2_run_mli(main_mem, aux_mem, stream, stream_len, max_cycles,
                       tick_cycles, tick_cap, counts, start_pc,
                       terminate_addr, hgr0_addr, cout_addr, prodos_addr,
                       trace_buf, trace_cap, trace_ring,
-                      nullptr, nullptr, 0, 0);
+                      nullptr, nullptr, 0, 0,
+                      key_cycles, key_codes, n_keys);
 }

@@ -146,7 +146,7 @@ class RunResult:
 class Apple2Player:
     """The vendored player running on the simulated machine."""
 
-    ARGTYPES = [
+    ARGTYPES_BASE = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.c_int64,
@@ -156,6 +156,11 @@ class Apple2Player:
         ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint16,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
     ]
+    KEY_ARGTYPES = [  # scheduled keyboard events (pause/resume testing)
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
+    ARGTYPES = ARGTYPES_BASE + KEY_ARGTYPES
 
     def __init__(self):
         self.assembly = asm65.assemble_player()
@@ -165,13 +170,20 @@ class Apple2Player:
         self._lib.a2_run.argtypes = self.ARGTYPES
 
     def run(self, stream: bytes,
-            max_cycles: int = 1 << 40, trace=None) -> RunResult:
+            max_cycles: int = 1 << 40, trace=None,
+            key_events=None) -> RunResult:
         """Execute the player against `stream`.
 
         trace: None, or ("first", N) / ("ring", N) to capture the first /
         last N executed instructions (TraceEntry list on the result) -
         the tool for locating the first diverging instruction after a
         parity failure.
+
+        key_events: optional [(cycle, code), ...] keyboard schedule: each
+        key latches (KBD bit7) once the machine passes its cycle and
+        clears on KBDSTRB - drives the player's documented pause/resume
+        path (reference README.md v0.2 "Press any key to pause/resume";
+        main.s recv keyboard check).
         """
         syms = self.assembly.symbols
         main = np.zeros(65536, np.uint8)
@@ -189,6 +201,7 @@ class Apple2Player:
 
         trace_mode, trace_cap = _parse_trace(trace)
         trace_buf = np.zeros(max(trace_cap, 1) * 3, np.int64)
+        kc, kk, nk = _key_arrays(key_events)
 
         rc = self._lib.a2_run(
             ptr(main, ctypes.c_uint8), ptr(aux, ctypes.c_uint8),
@@ -197,7 +210,9 @@ class Apple2Player:
             ptr(counts, ctypes.c_int64),
             self.assembly.entry, syms["op_terminate"],
             syms["HGR0"], syms["COUT"], syms["PRODOS"],
-            ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode)
+            ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
+            None if kc is None else ptr(kc, ctypes.c_int64),
+            None if kk is None else ptr(kk, ctypes.c_uint8), nk)
         del rc
         if int(counts[0]) > tick_cap:
             # The C core keeps counting but stops logging past the cap; a
@@ -222,6 +237,16 @@ class Apple2Player:
                                 trace_mode == 1),
             n_executed=int(counts[9]),
         )
+
+
+def _key_arrays(key_events):
+    """[(cycle, code), ...] -> (int64 cycles, uint8 codes, n) or nulls."""
+    if not key_events:
+        return None, None, 0
+    ev = sorted(key_events)
+    kc = np.asarray([int(c) for c, _ in ev], np.int64)
+    kk = np.asarray([int(k) & 0x7F for _, k in ev], np.uint8)
+    return kc, kk, len(ev)
 
 
 def _parse_trace(trace):
@@ -291,7 +316,8 @@ def run_program(source: str, entry: str = "start", stop: str = "stop",
         ptr(ticks), len(ticks), ptr(counts),
         asm.symbols[entry], asm.symbols[stop],
         0xFFFF, 0xFFFF, 0xFFFF,  # no ROM traps for raw programs
-        ptr(trace_buf), trace_cap, trace_mode)
+        ptr(trace_buf), trace_cap, trace_mode,
+        None, None, 0)
     res = RunResult(
         exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
         cycles=int(counts[1]),
@@ -313,17 +339,18 @@ _PLAYER = None
 
 
 def play_stream(stream: bytes, max_cycles: int = 1 << 40,
-                trace=None) -> RunResult:
+                trace=None, key_events=None) -> RunResult:
     global _PLAYER
     if _PLAYER is None:
         _PLAYER = Apple2Player()
-    return _PLAYER.run(stream, max_cycles, trace=trace)
+    return _PLAYER.run(stream, max_cycles, trace=trace,
+                       key_events=key_events)
 
 
-_MLI_ARGTYPES = Apple2Player.ARGTYPES + [
+_MLI_ARGTYPES = Apple2Player.ARGTYPES_BASE + [
     ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
     ctypes.c_int64, ctypes.c_uint16,
-]
+] + Apple2Player.KEY_ARGTYPES
 
 MLI_ENTRY = 0xBF00  # the ProDOS MLI vector the loader chain JSRs
 
@@ -407,7 +434,8 @@ def boot_disk(disk_bytes: bytes, stream: bytes,
         syms["HGR0"], syms["COUT"], syms["PRODOS"],
         ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
         ptr(blob_np, ctypes.c_uint8), ptr(idx, ctypes.c_int64),
-        len(files), MLI_ENTRY)
+        len(files), MLI_ENTRY,
+        None, None, 0)
     if int(counts[0]) > tick_cap:
         raise RuntimeError("speaker tick log overflow: %d > %d"
                            % (int(counts[0]), tick_cap))

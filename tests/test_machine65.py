@@ -153,6 +153,34 @@ def test_player_executes_stream_screen_parity(mode):
     assert res.regs[1] == 0
 
 
+def test_player_pause_resume_key():
+    """The player's documented pause feature (reference README.md v0.2
+    "Press any key to pause/resume"; main.s recv keyboard check): a key
+    latched at the 2KB recv boundary makes the player spin on KBD until a
+    second key, then playback continues to TERMINATED with the SAME final
+    screens - only wall cycles grow by (roughly) the pause length."""
+    data, _ = synth_stream(650)
+    base = machine65.play_stream(data)
+    assert base.exit_reason == "TERMINATED"
+
+    pause_at = base.cycles // 2
+    resume_after = 250_000
+    res = machine65.play_stream(
+        data, key_events=[(pause_at, ord(" ")),
+                          (pause_at + resume_after, ord(" "))])
+    assert res.exit_reason == "TERMINATED", res
+    assert np.array_equal(res.main, base.main)
+    assert np.array_equal(res.aux, base.aux)
+    assert res.n_recv == base.n_recv
+    # the pause spin burns (at least) the gap between the two keys, minus
+    # the cycles until the next recv boundary where KBD is first read
+    assert res.cycles >= base.cycles + resume_after - 75_000, \
+        (res.cycles, base.cycles)
+    # and not wildly more: the spin ends at the second key (+ slack for
+    # reaching the next 2KB boundary before the pause begins)
+    assert res.cycles <= base.cycles + resume_after + 150_000
+
+
 def test_player_cycle_accounting():
     """Every data opcode must take exactly 73 cycles with its encoded duty,
     and the ACK slow path exactly 2x73 with the 36/37 tick cadence
