@@ -56,6 +56,8 @@ struct Machine {
     bool col80 = false, dhires = false, text = true, fullscr = false;
 
     // W5100 state
+    int64_t connect_fails = 0;  // fail the first N CONNECT commands
+                                // (exercises the player's retry loop)
     uint8_t wmode = 0;
     uint16_t wptr = 0;        // auto-increment address pointer
     uint8_t w5100_regs[0x0430] = {0};  // register file (common + socket 0)
@@ -143,7 +145,14 @@ struct Machine {
             if (p == 0x0401) {  // S0CR command register
                 switch (v) {
                     case 0x01: w5100_regs[0x0403] = 0x13; break;  // OPEN
-                    case 0x04: w5100_regs[0x0403] = 0x17; break;  // CONNECT
+                    case 0x04:  // CONNECT
+                        if (connect_fails > 0) {
+                            connect_fails--;
+                            w5100_regs[0x0403] = 0x00;  // SOCK_CLOSED
+                        } else {
+                            w5100_regs[0x0403] = 0x17;  // ESTABLISHED
+                        }
+                        break;
                     case 0x08: w5100_regs[0x0403] = 0x00; break;  // DISCON
                     case 0x40:  // RECV: reads acknowledged up to S0RXRD
                         rx_acked += 0x0800;  // player advances 2KB frames
@@ -538,7 +547,7 @@ extern "C" int64_t a2_run_mli(
         const uint8_t* mli_blob, const int64_t* mli_idx,
         int64_t mli_nfiles, uint16_t mli_addr,
         const int64_t* key_cycles, const uint8_t* key_codes,
-        int64_t n_keys) {
+        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out) {
     Machine m;
     m.main = main_mem;
     m.aux = aux_mem;
@@ -549,6 +558,7 @@ extern "C" int64_t a2_run_mli(
     m.key_cycles = key_cycles;
     m.key_codes = key_codes;
     m.n_keys = n_keys;
+    m.connect_fails = connect_fails;
 
     CPU cpu;
     cpu.m = &m;
@@ -736,6 +746,10 @@ extern "C" int64_t a2_run_mli(
     counts[7] = cpu.x;
     counts[8] = cpu.y;
     counts[9] = n_trace;
+    if (cout_out) {
+        int64_t n = m.n_cout < 256 ? m.n_cout : 256;
+        for (int64_t i = 0; i < n; i++) cout_out[i] = m.cout_buf[i];
+    }
     return exit_code;
 }
 
@@ -750,11 +764,12 @@ extern "C" int64_t a2_run(
         uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
         int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring,
         const int64_t* key_cycles, const uint8_t* key_codes,
-        int64_t n_keys) {
+        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out) {
     return a2_run_mli(main_mem, aux_mem, stream, stream_len, max_cycles,
                       tick_cycles, tick_cap, counts, start_pc,
                       terminate_addr, hgr0_addr, cout_addr, prodos_addr,
                       trace_buf, trace_cap, trace_ring,
                       nullptr, nullptr, 0, 0,
-                      key_cycles, key_codes, n_keys);
+                      key_cycles, key_codes, n_keys,
+                      connect_fails, cout_out);
 }

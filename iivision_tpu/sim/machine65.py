@@ -128,6 +128,8 @@ class RunResult:
     regs: tuple  # (A, X, Y) at exit
     trace: list = None  # list[TraceEntry] when tracing was requested
     n_executed: int = 0  # total instructions executed (when tracing)
+    cout: bytes = b""  # bytes the program printed via the COUT trap
+    # (Apple high-ASCII; the player prints retry dots + error strings)
 
     @property
     def duty_cycles(self) -> np.ndarray:
@@ -156,9 +158,10 @@ class Apple2Player:
         ctypes.c_uint16, ctypes.c_uint16, ctypes.c_uint16,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
     ]
-    KEY_ARGTYPES = [  # scheduled keyboard events (pause/resume testing)
+    KEY_ARGTYPES = [  # scheduled keyboard events (pause/resume testing),
+        # connect-failure injection, COUT text capture
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
     ARGTYPES = ARGTYPES_BASE + KEY_ARGTYPES
 
@@ -171,7 +174,7 @@ class Apple2Player:
 
     def run(self, stream: bytes,
             max_cycles: int = 1 << 40, trace=None,
-            key_events=None) -> RunResult:
+            key_events=None, connect_fails: int = 0) -> RunResult:
         """Execute the player against `stream`.
 
         trace: None, or ("first", N) / ("ring", N) to capture the first /
@@ -184,6 +187,12 @@ class Apple2Player:
         clears on KBDSTRB - drives the player's documented pause/resume
         path (reference README.md v0.2 "Press any key to pause/resume";
         main.s recv keyboard check).
+
+        connect_fails: make the W5100 model fail the first N CONNECT
+        commands (status SOCK_CLOSED) - drives the player's 6-attempt
+        retry-with-reset loop and its BRK-with-error-message failure
+        path (main.s CHECKTEST/FAILED/ERRDONE).  The COUT bytes the
+        player prints land on the result's `cout`.
         """
         syms = self.assembly.symbols
         main = np.zeros(65536, np.uint8)
@@ -202,6 +211,7 @@ class Apple2Player:
         trace_mode, trace_cap = _parse_trace(trace)
         trace_buf = np.zeros(max(trace_cap, 1) * 3, np.int64)
         kc, kk, nk = _key_arrays(key_events)
+        cout_buf = np.zeros(256, np.uint8)
 
         rc = self._lib.a2_run(
             ptr(main, ctypes.c_uint8), ptr(aux, ctypes.c_uint8),
@@ -212,7 +222,8 @@ class Apple2Player:
             syms["HGR0"], syms["COUT"], syms["PRODOS"],
             ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
             None if kc is None else ptr(kc, ctypes.c_int64),
-            None if kk is None else ptr(kk, ctypes.c_uint8), nk)
+            None if kk is None else ptr(kk, ctypes.c_uint8), nk,
+            connect_fails, ptr(cout_buf, ctypes.c_uint8))
         del rc
         if int(counts[0]) > tick_cap:
             # The C core keeps counting but stops logging past the cap; a
@@ -236,6 +247,7 @@ class Apple2Player:
             trace=_decode_trace(trace_buf, trace_cap, int(counts[9]),
                                 trace_mode == 1),
             n_executed=int(counts[9]),
+            cout=bytes(cout_buf[:min(int(counts[5]), 256)]),
         )
 
 
@@ -317,7 +329,7 @@ def run_program(source: str, entry: str = "start", stop: str = "stop",
         asm.symbols[entry], asm.symbols[stop],
         0xFFFF, 0xFFFF, 0xFFFF,  # no ROM traps for raw programs
         ptr(trace_buf), trace_cap, trace_mode,
-        None, None, 0)
+        None, None, 0, 0, None)
     res = RunResult(
         exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
         cycles=int(counts[1]),
@@ -339,12 +351,14 @@ _PLAYER = None
 
 
 def play_stream(stream: bytes, max_cycles: int = 1 << 40,
-                trace=None, key_events=None) -> RunResult:
+                trace=None, key_events=None,
+                connect_fails: int = 0) -> RunResult:
     global _PLAYER
     if _PLAYER is None:
         _PLAYER = Apple2Player()
     return _PLAYER.run(stream, max_cycles, trace=trace,
-                       key_events=key_events)
+                       key_events=key_events,
+                       connect_fails=connect_fails)
 
 
 _MLI_ARGTYPES = Apple2Player.ARGTYPES_BASE + [
@@ -435,7 +449,7 @@ def boot_disk(disk_bytes: bytes, stream: bytes,
         ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
         ptr(blob_np, ctypes.c_uint8), ptr(idx, ctypes.c_int64),
         len(files), MLI_ENTRY,
-        None, None, 0)
+        None, None, 0, 0, None)
     if int(counts[0]) > tick_cap:
         raise RuntimeError("speaker tick log overflow: %d > %d"
                            % (int(counts[0]), tick_cap))

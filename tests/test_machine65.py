@@ -181,6 +181,26 @@ def test_player_pause_resume_key():
     assert res.cycles <= base.cycles + resume_after + 150_000
 
 
+def test_player_connect_retry_and_failure():
+    """The player's failure handling (reference main.s CHECKTEST/FAILED:
+    6-attempt connect retry with full W5100 re-reset, then BRK with an
+    error message via COUT - SURVEY 5.3): injected CONNECT failures drive
+    the REAL retry loop, and the error path prints the real string."""
+    data, _ = synth_stream(650)
+
+    # two failures then success: a '.' per retry, playback completes
+    res = machine65.play_stream(data, connect_fails=2)
+    assert res.exit_reason == "TERMINATED", res
+    assert res.cout.count(b"\xae") == 2  # "." in Apple high-ASCII
+
+    # permanent failure: all 6 attempts exhausted -> BRK + error string
+    res = machine65.play_stream(data, connect_fails=99)
+    assert res.exit_reason == "BRK", res
+    text = bytes(b & 0x7F for b in res.cout).decode("ascii")
+    assert "SOCKET COULD NOT CONNECT" in text, text
+    assert text.count(".") == 5  # 6 attempts = 5 retry dots before BRK
+
+
 def test_player_cycle_accounting():
     """Every data opcode must take exactly 73 cycles with its encoded duty,
     and the ACK slow path exactly 2x73 with the 36/37 tick cadence
