@@ -174,7 +174,8 @@ class Apple2Player:
 
     def run(self, stream: bytes,
             max_cycles: int = 1 << 40, trace=None,
-            key_events=None, connect_fails: int = 0) -> RunResult:
+            key_events=None, connect_fails: int = 0,
+            terminate_trap: bool = True) -> RunResult:
         """Execute the player against `stream`.
 
         trace: None, or ("first", N) / ("ring", N) to capture the first /
@@ -193,6 +194,11 @@ class Apple2Player:
         retry-with-reset loop and its BRK-with-error-message failure
         path (main.s CHECKTEST/FAILED/ERRDONE).  The COUT bytes the
         player prints land on the result's `cout`.
+
+        terminate_trap=False removes the op_terminate entry trap so the
+        player's real post-terminate behaviour executes: wait for a
+        keypress, then ProDOS QUIT via the MLI vector (exit_reason
+        PRODOS_QUIT) - pair with key_events to drive it.
         """
         syms = self.assembly.symbols
         main = np.zeros(65536, np.uint8)
@@ -218,7 +224,8 @@ class Apple2Player:
             stream, len(stream), max_cycles,
             ptr(ticks, ctypes.c_int64), tick_cap,
             ptr(counts, ctypes.c_int64),
-            self.assembly.entry, syms["op_terminate"],
+            self.assembly.entry,
+            syms["op_terminate"] if terminate_trap else 0xFFFF,
             syms["HGR0"], syms["COUT"], syms["PRODOS"],
             ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
             None if kc is None else ptr(kc, ctypes.c_int64),

@@ -181,6 +181,24 @@ def test_player_pause_resume_key():
     assert res.cycles <= base.cycles + resume_after + 150_000
 
 
+def test_player_terminate_key_and_prodos_quit():
+    """With the op_terminate entry trap removed, the player's REAL ending
+    executes: op_terminate waits for a keypress, then exits via the
+    ProDOS MLI QUIT call (main.s op_terminate/exit)."""
+    data, _ = synth_stream(650)
+    base = machine65.play_stream(data)
+
+    key_at = base.cycles + 80_000
+    player = machine65.Apple2Player()
+    res = player.run(data, key_events=[(key_at, 0x1B)],
+                     terminate_trap=False)
+    assert res.exit_reason == "PRODOS_QUIT", res
+    assert np.array_equal(res.main, base.main)
+    assert np.array_equal(res.aux, base.aux)
+    # it spun in op_terminate's key-wait until the scheduled keypress
+    assert res.cycles >= key_at
+
+
 def test_player_connect_retry_and_failure():
     """The player's failure handling (reference main.s CHECKTEST/FAILED:
     6-attempt connect retry with full W5100 re-reset, then BRK with an
