@@ -58,6 +58,7 @@ struct Machine {
     // W5100 state
     int64_t connect_fails = 0;  // fail the first N CONNECT commands
                                 // (exercises the player's retry loop)
+    uint16_t wbase = 0xC094;    // card I/O base: $C080 + slot*$10 + 4
     uint8_t wmode = 0;
     uint16_t wptr = 0;        // auto-increment address pointer
     uint8_t w5100_regs[0x0430] = {0};  // register file (common + socket 0)
@@ -170,6 +171,23 @@ struct Machine {
 
     // --- IO page -------------------------------------------------------------
     uint8_t io_access(uint16_t addr, bool is_write, uint8_t v) {
+        if (addr >= wbase && addr < wbase + 4) {
+            switch (addr - wbase) {
+                case 0:                                               // WMODE
+                    if (is_write) wmode = v;
+                    return wmode;
+                case 1:                                               // WADRH
+                    if (is_write) wptr = (uint16_t)((v << 8)
+                                                    | (wptr & 0xFF));
+                    return (uint8_t)(wptr >> 8);
+                case 2:                                               // WADRL
+                    if (is_write) wptr = (uint16_t)((wptr & 0xFF00) | v);
+                    return (uint8_t)(wptr & 0xFF);
+                default:                                              // WDATA
+                    if (is_write) { w5100_write_data(v); return 0; }
+                    return w5100_read_data();
+            }
+        }
         switch (addr) {
             case 0xC000: return kbd_read();              // KBD
             case 0xC001: if (is_write) store80 = true; return 0;
@@ -185,17 +203,7 @@ struct Machine {
             case 0xC055: page2 = true; return 0;
             case 0xC057: hires = true; return 0;
             case 0xC05E: dhires = true; return 0;
-            case 0xC094: if (is_write) wmode = v; return wmode;       // WMODE
-            case 0xC095:                                              // WADRH
-                if (is_write) wptr = (uint16_t)((v << 8) | (wptr & 0xFF));
-                return (uint8_t)(wptr >> 8);
-            case 0xC096:                                              // WADRL
-                if (is_write) wptr = (uint16_t)((wptr & 0xFF00) | v);
-                return (uint8_t)(wptr & 0xFF);
-            case 0xC097:                                              // WDATA
-                if (is_write) { w5100_write_data(v); return 0; }
-                return w5100_read_data();
-            default: return 0;
+            default: return 0;  // W5100 regs handled above at `wbase`
         }
     }
 
@@ -547,7 +555,8 @@ extern "C" int64_t a2_run_mli(
         const uint8_t* mli_blob, const int64_t* mli_idx,
         int64_t mli_nfiles, uint16_t mli_addr,
         const int64_t* key_cycles, const uint8_t* key_codes,
-        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out) {
+        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out,
+        int64_t w5100_slot) {
     Machine m;
     m.main = main_mem;
     m.aux = aux_mem;
@@ -559,6 +568,9 @@ extern "C" int64_t a2_run_mli(
     m.key_codes = key_codes;
     m.n_keys = n_keys;
     m.connect_fails = connect_fails;
+    if (w5100_slot >= 1 && w5100_slot <= 7) {
+        m.wbase = (uint16_t)(0xC080 + 0x10 * w5100_slot + 4);
+    }
 
     CPU cpu;
     cpu.m = &m;
@@ -764,12 +776,13 @@ extern "C" int64_t a2_run(
         uint16_t hgr0_addr, uint16_t cout_addr, uint16_t prodos_addr,
         int64_t* trace_buf, int64_t trace_cap, int64_t trace_ring,
         const int64_t* key_cycles, const uint8_t* key_codes,
-        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out) {
+        int64_t n_keys, int64_t connect_fails, uint8_t* cout_out,
+        int64_t w5100_slot) {
     return a2_run_mli(main_mem, aux_mem, stream, stream_len, max_cycles,
                       tick_cycles, tick_cap, counts, start_pc,
                       terminate_addr, hgr0_addr, cout_addr, prodos_addr,
                       trace_buf, trace_cap, trace_ring,
                       nullptr, nullptr, 0, 0,
                       key_cycles, key_codes, n_keys,
-                      connect_fails, cout_out);
+                      connect_fails, cout_out, w5100_slot);
 }

@@ -162,6 +162,7 @@ class Apple2Player:
         # connect-failure injection, COUT text capture
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
     ]
     ARGTYPES = ARGTYPES_BASE + KEY_ARGTYPES
 
@@ -175,7 +176,8 @@ class Apple2Player:
     def run(self, stream: bytes,
             max_cycles: int = 1 << 40, trace=None,
             key_events=None, connect_fails: int = 0,
-            terminate_trap: bool = True) -> RunResult:
+            terminate_trap: bool = True,
+            w5100_slot: int = 1) -> RunResult:
         """Execute the player against `stream`.
 
         trace: None, or ("first", N) / ("ring", N) to capture the first /
@@ -230,7 +232,7 @@ class Apple2Player:
             ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
             None if kc is None else ptr(kc, ctypes.c_int64),
             None if kk is None else ptr(kk, ctypes.c_uint8), nk,
-            connect_fails, ptr(cout_buf, ctypes.c_uint8))
+            connect_fails, ptr(cout_buf, ctypes.c_uint8), w5100_slot)
         del rc
         if int(counts[0]) > tick_cap:
             # The C core keeps counting but stops logging past the cap; a
@@ -336,7 +338,7 @@ def run_program(source: str, entry: str = "start", stop: str = "stop",
         asm.symbols[entry], asm.symbols[stop],
         0xFFFF, 0xFFFF, 0xFFFF,  # no ROM traps for raw programs
         ptr(trace_buf), trace_cap, trace_mode,
-        None, None, 0, 0, None)
+        None, None, 0, 0, None, 1)
     res = RunResult(
         exit_reason=EXIT_NAMES.get(int(counts[2]), str(counts[2])),
         cycles=int(counts[1]),
@@ -358,14 +360,15 @@ _PLAYER = None
 
 
 def play_stream(stream: bytes, max_cycles: int = 1 << 40,
-                trace=None, key_events=None,
-                connect_fails: int = 0) -> RunResult:
+                trace=None, key_events=None, connect_fails: int = 0,
+                w5100_slot: int = 1) -> RunResult:
     global _PLAYER
     if _PLAYER is None:
         _PLAYER = Apple2Player()
     return _PLAYER.run(stream, max_cycles, trace=trace,
                        key_events=key_events,
-                       connect_fails=connect_fails)
+                       connect_fails=connect_fails,
+                       w5100_slot=w5100_slot)
 
 
 _MLI_ARGTYPES = Apple2Player.ARGTYPES_BASE + [
@@ -378,7 +381,8 @@ MLI_ENTRY = 0xBF00  # the ProDOS MLI vector the loader chain JSRs
 
 def boot_disk(disk_bytes: bytes, stream: bytes,
               max_cycles: int = 1 << 40, trace=None,
-              system_file: str = "IIVISION.SYSTEM") -> RunResult:
+              system_file: str = "IIVISION.SYSTEM",
+              w5100_slot: int = 1) -> RunResult:
     """Boot a produced ProDOS disk image's loader chain and play `stream`.
 
     Mirrors what ProDOS does after its own startup (the part the reference
@@ -456,7 +460,7 @@ def boot_disk(disk_bytes: bytes, stream: bytes,
         ptr(trace_buf, ctypes.c_int64), trace_cap, trace_mode,
         ptr(blob_np, ctypes.c_uint8), ptr(idx, ctypes.c_int64),
         len(files), MLI_ENTRY,
-        None, None, 0, 0, None)
+        None, None, 0, 0, None, w5100_slot)
     if int(counts[0]) > tick_cap:
         raise RuntimeError("speaker tick log overflow: %d > %d"
                            % (int(counts[0]), tick_cap))

@@ -87,3 +87,66 @@ def test_boot_without_system_file_fails_loudly():
     vol = prodos.ProDOSVolume.create("EMPTY")
     with pytest.raises(ValueError, match="IIVISION.SYSTEM"):
         machine65.boot_disk(vol.to_po(), _stream(64))
+
+
+def test_config_patched_player_boots_and_plays():
+    """make_disk's network-config patching (the reference documents
+    editing main.s + a cc65 rebuild for this, reference README.md
+    Configuration section): IP/port/MAC bytes land at their symbol
+    offsets, everything else is byte-identical, and the patched player
+    boots from the disk and plays to TERMINATED."""
+    base = make_disk.player_binary()
+    patched = make_disk.patch_player_config(
+        w5100_ip="192.168.7.2", server_ip="192.168.7.1", port=8080,
+        mac="02:11:22:33:44:55")
+    assert len(patched) == len(base)
+    diff = [i for i in range(len(base)) if base[i] != patched[i]]
+    from iivision_tpu.sim import asm65
+    syms = asm65.assemble_player().symbols
+    start = make_disk.PLAYER_START
+    allowed = set()
+    for sym, n in (("SRCADDR", 4), ("FADDR", 4), ("FPORT", 2),
+                   ("MAC", 6)):
+        allowed |= set(range(syms[sym] - start, syms[sym] - start + n))
+    assert set(diff) <= allowed, sorted(set(diff) - allowed)[:8]
+    off = syms["FADDR"] - start
+    assert list(patched[off:off + 4]) == [192, 168, 7, 1]
+    off = syms["FPORT"] - start
+    assert list(patched[off:off + 2]) == [8080 >> 8, 8080 & 0xFF]
+
+    tmpl = open(_TEMPLATE, "rb").read()
+    vol = make_disk.build_disk(template=tmpl, binary=patched)
+    res = machine65.boot_disk(vol.to_po(), _stream(320),
+                              max_cycles=10 ** 8)
+    assert res.exit_reason == "TERMINATED", (res.exit_reason, hex(res.pc))
+
+
+def test_slot_patch_reassembles_same_labels():
+    """--slot moves the four W5100 I/O equates ($C094-97 -> slot base) by
+    reassembly; instruction sizes are unchanged so every label still
+    matches the frozen .dbg (validated inside patch_player_config), and
+    the binary differs from the stock player only in $C09x operand
+    bytes."""
+    base = make_disk.player_binary()
+    slot2 = make_disk.patch_player_config(slot=2)
+    assert len(slot2) == len(base)
+    diff = [i for i in range(len(base)) if base[i] != slot2[i]]
+    assert diff, "slot patch changed nothing"
+    # every changed byte is the $C09x -> $C0Ax page-offset low byte or
+    # high byte of an absolute W5100 operand: old value 0x94-0x97 ->
+    # +0x10, high byte 0xC0 unchanged; so diffs are exactly low bytes
+    for i in diff:
+        assert 0x94 <= base[i] <= 0x97 and slot2[i] == base[i] + 0x10, \
+            (i, base[i], slot2[i])
+        assert base[i + 1] == 0xC0  # the absolute operand's high byte
+
+    # and it EXECUTES: boot the slot-2 disk on a machine whose W5100 sits
+    # in slot 2 -> plays to TERMINATED; on the default slot-1 machine the
+    # same disk finds no card and BRKs through the player's retry path
+    tmpl = open(_TEMPLATE, "rb").read()
+    disk = make_disk.build_disk(template=tmpl, binary=slot2).to_po()
+    ok = machine65.boot_disk(disk, _stream(320), max_cycles=10 ** 8,
+                             w5100_slot=2)
+    assert ok.exit_reason == "TERMINATED", (ok.exit_reason, hex(ok.pc))
+    wrong = machine65.boot_disk(disk, _stream(320), max_cycles=10 ** 8)
+    assert wrong.exit_reason == "BRK"
