@@ -45,11 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--palette", type=str,
                         choices=[p.name for p in Palette if p.value >= 0],
                         default=Palette.NTSC.name)
-    parser.add_argument("--dither", type=str, default="ordered",
+    parser.add_argument("--dither", type=str, default=None,
                         choices=["ordered", "buckels", "floyd", "atkinson",
-                                 "jarvis"],
+                                 "jarvis", "mono"],
                         help="Frame quantization dither (ordered = batched "
-                             "TPU path; others = native error diffusion).")
+                             "TPU path; others = native error diffusion; "
+                             "mono = 1-bit 560-dot Bayer, auto-selected by "
+                             "--colour_model mono).  Default: ordered.")
     parser.add_argument("--k", type=int, default=8,
                         help="Encoder page-parallelism (1 = strict greedy "
                              "order).")
@@ -60,10 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
     parser.add_argument("--colour_model", type=str, default="window",
-                        choices=["window", "yiq"],
+                        choices=["window", "yiq", "mono"],
                         help="Perceptual basis: 'window' = the reference's "
                              "4-bit nominal colours; 'yiq' = NTSC composite "
-                             "demodulation (wider chroma low-pass).")
+                             "demodulation (wider chroma low-pass); 'mono' "
+                             "= dot-level hamming for monochrome monitors "
+                             "(pairs with the 1-bit mono dither).")
     parser.add_argument("--chunk_frames", type=int, default=None,
                         help="Encode in segments of this many frames "
                              "(bounded device memory for long movies; "
@@ -198,6 +202,9 @@ def _write_stats(path, rows):
 
 def main(args=None):
     args = build_parser().parse_args(args)
+    if args.dither is None:
+        # the mono colour model pairs with the 1-bit mono quantizer
+        args.dither = "mono" if args.colour_model == "mono" else "ordered"
     if len(args.input) > 1:
         transcode_batch(args)
         return

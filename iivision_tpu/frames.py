@@ -159,6 +159,10 @@ def _quantize_batch(rgb: np.ndarray, mode: VideoMode, palette: Palette,
     quantize (used when sources are already device-resident - see
     parallel/mesh.ingest_movies_batch - or for A/B).
     """
+    if dither_mode == "mono":
+        # 1-bit dither at the full 560-dot resolution (xp-agnostic; the
+        # rgb batch arrives already resized to (B, 192, 560, 3))
+        return dither.quantize_mono(rgb, mode)
     if dither_mode == "ordered" and not device:
         if mode == VideoMode.DHGR:
             codes = dither.quantize_ordered_host(rgb, palette)
@@ -308,10 +312,10 @@ def _source_stamp(path: str) -> str:
 
 
 def _decode_worker(frames_iter, every_n: int, out_q: queue.Queue,
-                   stop: threading.Event):
+                   stop: threading.Event, width: int = TARGET_W):
     """Decode thread: batches of resized RGB frames into a bounded queue.
 
-    Emits ("batch", resized (B,192,140,3) uint8) items and finally
+    Emits ("batch", resized (B,192,width,3) uint8) items and finally
     ("done", n_frames_total) or ("error", exc).  `stop` aborts the worker
     if the consumer dies, so it never blocks forever on a full queue
     (leaking the decoder subprocess/handles).
@@ -337,31 +341,32 @@ def _decode_worker(frames_iter, every_n: int, out_q: queue.Queue,
             frame = np.asarray(frame, dtype=np.uint8)
             batch.append(frame)
             if len(batch) == DECODE_BATCH:
-                if not put(("batch", _resize_stack(batch))):
+                if not put(("batch", _resize_stack(batch, width))):
                     return
                 batch = []
-        if batch and not put(("batch", _resize_stack(batch))):
+        if batch and not put(("batch", _resize_stack(batch, width))):
             return
         put(("done", n_total))
     except BaseException as e:  # surface decode errors to the consumer
         put(("error", e))
 
 
-def _resize_stack(batch) -> np.ndarray:
+def _resize_stack(batch, width: int = TARGET_W) -> np.ndarray:
     """Stack + resize a list of same-or-mixed-size frames to the target grid
     (host numpy matmuls; source-resolution pixels never cross the device
-    link)."""
-    if all(f.shape[:2] == (TARGET_H, TARGET_W) for f in batch):
+    link).  width: 140 for the colour quantizers, 560 (the full dot
+    resolution) for the mono quantizer."""
+    if all(f.shape[:2] == (TARGET_H, width) for f in batch):
         return np.stack(batch)
     # group by source shape so each group is one batched matmul pair
-    out = np.empty((len(batch), TARGET_H, TARGET_W, 3), dtype=np.uint8)
+    out = np.empty((len(batch), TARGET_H, width, 3), dtype=np.uint8)
     by_shape = {}
     for i, f in enumerate(batch):
         by_shape.setdefault(f.shape, []).append(i)
     for shape, idxs in by_shape.items():
         stack = np.stack([batch[i] for i in idxs])
-        if shape[:2] != (TARGET_H, TARGET_W):
-            stack = resize_mod.resize_batch(stack, TARGET_H, TARGET_W)
+        if shape[:2] != (TARGET_H, width):
+            stack = resize_mod.resize_batch(stack, TARGET_H, width)
         out[idxs] = stack
     return out
 
@@ -424,9 +429,11 @@ def ingest(source, mode: VideoMode, palette: Palette,
     # so decode(i+1) overlaps quantize(i).
     q = queue.Queue(maxsize=QUEUE_BATCHES)
     stop = threading.Event()
+    width = dither.MONO_W if dither_mode == "mono" else TARGET_W
     t = threading.Thread(
         target=_decode_worker,
-        args=(frames_iter, every_n_video_frames, q, stop), daemon=True)
+        args=(frames_iter, every_n_video_frames, q, stop, width),
+        daemon=True)
     t.start()
 
     pending = []  # device arrays, fetched after the last dispatch

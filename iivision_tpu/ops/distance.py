@@ -169,12 +169,33 @@ def sub16(palette: Palette) -> np.ndarray:
     return palettes.diff_matrix(palette).astype(np.float32)
 
 
+@functools.lru_cache(None)
+def sub16_mono() -> np.ndarray:
+    """16x16 monochrome-monitor basis: dot-level hamming distance.
+
+    A nominal colour's 4-bit VALUE is its dot window, and the window->
+    colour phase rotation is the same for both operands at any position,
+    so popcount(a ^ b) is exactly the number of differing DOTS - what a
+    mono monitor displays (reference README.md "Mono playback mode").
+    Scaled x25 so magnitudes are comparable to the CIEDE2000 basis
+    (max 100); palette-independent.
+    """
+    a = np.arange(16)
+    ham = np.unpackbits(
+        (a[:, None] ^ a[None, :]).astype(np.uint8)[..., None],
+        axis=-1).sum(axis=-1)
+    return (ham * 25).astype(np.float32)
+
+
 def sub_for(mode: VideoMode, palette: Palette,
             model: str = "window") -> np.ndarray:
-    """Cost basis for `model`: 'window' (reference parity) or 'yiq'."""
+    """Cost basis for `model`: 'window' (reference parity), 'yiq', or
+    'mono' (dot-level hamming for monochrome monitors)."""
     if model == "yiq":
         from iivision_tpu.ops import yiq
         return yiq.lane_subs(mode, palette)
+    if model == "mono":
+        return sub16_mono()
     if model != "window":
         raise ValueError("unknown colour model: %r" % (model,))
     return sub16(palette)
@@ -239,7 +260,7 @@ def save_store_cost(cost: np.ndarray, mode: VideoMode, palette: Palette,
                     model: str, data_dir=None) -> str:
     path = store_cost_path(mode, palette, model, data_dir)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    if model == "window":  # exact integers < 2^12: uint16 round-trips
+    if model in ("window", "mono"):  # exact ints < 2^12: uint16 round-trips
         assert float(np.abs(cost - np.round(cost)).max()) == 0.0
         out = cost.astype(np.uint16)
     else:
@@ -262,7 +283,7 @@ def _build_store_cost(mode: VideoMode, palette: Palette,
     sub = jnp.asarray(sub_for(mode, palette, model))
     # bound the one-hot transients to ~tens of MB: (chunk, C, L, width) f32
     # per operand, where width is 16 (window model) or 128 (yiq)
-    chunk = 256 if model == "window" else 32
+    chunk = 32 if model == "yiq" else 256
 
     @jax.jit
     def build():

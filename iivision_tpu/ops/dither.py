@@ -262,25 +262,65 @@ def rows_to_memory(by):
     return a.reshape(lead + (32, 256))
 
 
-def dhgr_codes_to_memory(codes):
-    """(..., 192, 140) colour codes -> (main, aux) (..., 32, 256) uint8.
+def dhgr_dots_to_memory(dots):
+    """(..., 192, 560) 0/1 dots -> (main, aux) (..., 32, 256) uint8.
 
-    Pixel x's nibble fills dots 4x..4x+3 (LSB-first); dots pack 7-per-byte
-    alternating AUX/MAIN (reference screen.py:819-947); rows map to pages
-    and offsets via the interleaved HGR address layout (screen.py:16-69).
-    Works for numpy and jax.numpy inputs.
+    Dots pack 7-per-byte alternating AUX/MAIN columns (reference
+    screen.py:819-947); rows map to pages and offsets via the interleaved
+    HGR address layout (screen.py:16-69).  Works for numpy and jax.numpy.
     """
-    xp = screen._xp(codes)
-    c = codes.astype(xp.int32)
-    # dots: (..., 192, 560); dot 4x+k = bit k of code x
-    bits = xp.stack([(c >> k) & 1 for k in range(4)],
-                    axis=-1).reshape(c.shape[:-1] + (DHGR_W * 4,))
+    xp = screen._xp(dots)
+    bits = dots.astype(xp.int32)
     groups = bits.reshape(bits.shape[:-1] + (80, 7))
     weights = xp.asarray([1 << k for k in range(7)], dtype=xp.int32)
     by = (groups * weights).sum(axis=-1).astype(xp.uint8)  # (...,192,80)
     aux_cols = by[..., 0::2]  # (..., 192, 40)
     main_cols = by[..., 1::2]
     return rows_to_memory(main_cols), rows_to_memory(aux_cols)
+
+
+def dhgr_codes_to_memory(codes):
+    """(..., 192, 140) colour codes -> (main, aux) (..., 32, 256) uint8.
+
+    Pixel x's nibble fills dots 4x..4x+3 (LSB-first); packing via
+    dhgr_dots_to_memory.
+    """
+    xp = screen._xp(codes)
+    c = codes.astype(xp.int32)
+    # dots: (..., 192, 560); dot 4x+k = bit k of code x
+    bits = xp.stack([(c >> k) & 1 for k in range(4)],
+                    axis=-1).reshape(c.shape[:-1] + (DHGR_W * 4,))
+    return dhgr_dots_to_memory(bits)
+
+
+MONO_W = 560  # full dot resolution of one scanline (DHGR and HGR alike)
+
+
+def quantize_mono(rgb, mode):
+    """Monochrome-monitor quantizer: 1-bit Bayer dither of luma at the
+    FULL 560-dot resolution -> screen memory.
+
+    The reference lists mono playback as a future improvement
+    (reference README.md "Mono playback mode": "should be
+    straightforward, since the underlying dot model is already
+    implemented").  On a mono monitor every dot is an independent
+    black/white pixel, so the image is quantized as a 560x192 1-bit
+    canvas instead of 140 colour cells: rgb (..., 192, 560, 3) uint8 ->
+    Rec.601 integer luma -> 8x8 Bayer threshold -> dots -> bytes
+    (DHGR: 7 dots/byte alternating AUX/MAIN; HGR: best-fit palette +
+    data bits via hgr_dots_to_bytes).  Pure xp math: runs on numpy and
+    under jit alike.  Returns (main, aux) ((main, None) for HGR).
+    """
+    xp = screen._xp(rgb)
+    v = rgb.astype(xp.int32)
+    luma = 77 * v[..., 0] + 150 * v[..., 1] + 29 * v[..., 2]  # 0..65280
+    bay = np.round(_bayer_matrix(8) * 65280.0).astype(np.int32)
+    h, w = rgb.shape[-3], rgb.shape[-2]
+    thr = xp.asarray(np.tile(bay, (h // 8 + 1, w // 8 + 1))[:h, :w])
+    dots = (luma > thr).astype(xp.uint8)
+    if mode == VideoMode.DHGR:
+        return dhgr_dots_to_memory(dots)
+    return hgr_bytes_to_memory(hgr_dots_to_bytes(dots)), None
 
 
 def hgr_desired_dots(codes):

@@ -118,6 +118,14 @@ def screen_to_rgb_yiq(main, aux, mode: VideoMode, palette: Palette):
     return out.reshape(out.shape[:-2] + (140, 4, 3)).mean(axis=-2)
 
 
+def screen_to_rgb_mono(main, aux, mode: VideoMode):
+    """Monochrome-monitor render: every dot is an independent white/black
+    pixel at the full 560-dot resolution -> (..., 192, 560, 3) float RGB
+    (the display the 'mono' colour model optimises for)."""
+    bits = _row_bits(main, aux, mode).astype(np.float64)
+    return np.repeat((bits * 255.0)[..., None], 3, axis=-1)
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio between RGB images (0..255 scale)."""
     mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64))

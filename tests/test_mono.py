@@ -1,0 +1,103 @@
+"""Mono playback mode: dot-level distance basis + 1-bit 560-dot quantizer.
+
+The reference lists this as a future improvement (reference README.md
+"Mono playback mode": "should be straightforward, since the underlying
+dot model is already implemented").  Here it is a colour model: `--
+colour_model mono` pairs the hamming-over-dots cost basis with a 1-bit
+Bayer quantizer at the full 560-dot resolution, and render.
+screen_to_rgb_mono shows what the monochrome monitor shows.
+"""
+
+import numpy as np
+import pytest
+
+from iivision_tpu import encoder, render, screen
+from iivision_tpu.movie import get_distance
+from iivision_tpu.ops import distance, dither
+from iivision_tpu.palettes import Palette
+from iivision_tpu.video_mode import VideoMode
+
+
+def test_mono_sub_is_dot_hamming():
+    sub = distance.sub16_mono()
+    assert sub.shape == (16, 16)
+    assert np.array_equal(sub, sub.T)
+    assert np.all(np.diag(sub) == 0)
+    # distance == 25 * number of differing dots, e.g. 0b0101 vs 0b0110
+    assert sub[0b0101, 0b0110] == 50
+    assert sub[0b0000, 0b1111] == 100
+    # distinct windows never collapse to zero (exact convergence holds,
+    # unlike NTSC's duplicate greys - reference video.py:192-207)
+    off_diag = sub + np.eye(16) * 1e9
+    assert off_diag.min() == 25
+
+
+def test_quantize_mono_packs_valid_screens():
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 256, size=(2, 192, 560, 3)).astype(np.uint8)
+    main, aux = dither.quantize_mono(rgb, VideoMode.DHGR)
+    assert main.shape == aux.shape == (2, 32, 256)
+    assert main.max() < 0x80 and aux.max() < 0x80  # 7-bit DHGR bytes
+    # the dots that come back out of the packed screens are exactly the
+    # dithered dots (the packing round-trips)
+    bits = render._row_bits(np.asarray(main[0], np.int64),
+                            np.asarray(aux[0], np.int64), VideoMode.DHGR)
+    v = rgb[0].astype(np.int64)
+    luma = 77 * v[..., 0] + 150 * v[..., 1] + 29 * v[..., 2]
+    bay = np.round(dither._bayer_matrix(8) * 65280.0).astype(np.int64)
+    thr = np.tile(bay, (24, 70))
+    want = (luma > thr).astype(np.int64)
+    # screen holes cover no dots (560 dots per row all live)
+    assert np.array_equal(bits, want)
+
+    m_hgr, a_hgr = dither.quantize_mono(rgb, VideoMode.HGR)
+    assert a_hgr is None and m_hgr.shape == (2, 32, 256)
+
+
+def test_mono_encode_converges_on_machine():
+    """Mono end to end: 1-bit-dithered target, dot-hamming cost basis,
+    deterministic encode, playback on the real 6502 player - the final
+    screens equal the target exactly outside screen holes (mono windows
+    never collide, so full convergence is achievable)."""
+    from iivision_tpu.sim import machine65
+    from iivision_tpu.stream.emit_fast import emit_stream_fast
+
+    mode = VideoMode.DHGR
+    dist = get_distance(mode, Palette.NTSC, "mono")
+    rng = np.random.RandomState(3)
+    # a soft gradient + blocks clip, dithered at full dot resolution
+    x = np.linspace(0, 255, 560)[None, :, None]
+    y = np.linspace(0, 255, 192)[:, None, None]
+    rgb = np.clip(0.5 * x + 0.5 * y
+                  + rng.randint(-20, 20, size=(192, 560, 3)), 0,
+                  255).astype(np.uint8)
+    main_t, aux_t = dither.quantize_mono(rgb[None], mode)
+    for t in (main_t, aux_t):
+        t[0][screen.SCREEN_HOLES] = 0
+
+    plan, n_enc = encoder.plan_movie(
+        n_frames=1, n_audio_ticks=12000, input_frame_rate=1.0,
+        ticks_per_second=12001.0, every_n_video_frames=1, mode=mode,
+        k=16, j=4)
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(main_t, aux_t, mode)
+    ops_dev, fin_main, fin_aux = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None)
+    live = ~screen.SCREEN_HOLES
+    assert np.array_equal(np.asarray(fin_main)[live],
+                          main_t[0].astype(np.int32)[live])
+    assert np.array_equal(np.asarray(fin_aux)[live],
+                          aux_t[0].astype(np.int32)[live])
+
+    # the emitted stream plays on the real player to the same screens
+    flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
+    levels = np.zeros(plan.n_ops, np.int32)
+    data = emit_stream_fast(flat, levels, mode)
+    res = machine65.play_stream(data)
+    assert res.exit_reason == "TERMINATED"
+    assert np.array_equal(res.main, np.asarray(fin_main))
+    assert np.array_equal(res.aux, np.asarray(fin_aux))
+
+    # and the mono render of the final screen IS the dithered target
+    got = render.screen_to_rgb_mono(res.main, res.aux, mode)
+    want = render.screen_to_rgb_mono(main_t[0], aux_t[0], mode)
+    assert np.array_equal(got, want)
