@@ -166,9 +166,16 @@ class Apple2Player:
     ]
     ARGTYPES = ARGTYPES_BASE + KEY_ARGTYPES
 
-    def __init__(self):
-        self.assembly = asm65.assemble_player()
-        asm65.validate_against_dbg(self.assembly)
+    def __init__(self, assembly=None):
+        """assembly: a custom `asm65.Assembly` of the player (e.g. a
+        relocated build for stream-retargeting tests). Default: the
+        vendored source, validated label-for-label against the frozen
+        .dbg; custom builds skip that check (their addresses differ by
+        design)."""
+        if assembly is None:
+            assembly = asm65.assemble_player()
+            asm65.validate_against_dbg(assembly)
+        self.assembly = assembly
         self._lib = ctypes.CDLL(_build_library())
         self._lib.a2_run.restype = ctypes.c_int64
         self._lib.a2_run.argtypes = self.ARGTYPES

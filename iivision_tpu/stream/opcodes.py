@@ -31,7 +31,28 @@ class OpcodeAddresses:
     """Opcode entry addresses for a specific player binary (.dbg file)."""
 
     def __init__(self, debugfile: Optional[str] = None):
-        addrs = SymbolTable(debugfile).opcode_addresses()
+        self._load(SymbolTable(debugfile).opcode_addresses())
+
+    @classmethod
+    def from_symbols(cls, symbols: Dict[str, int]) -> "OpcodeAddresses":
+        """Build from an in-memory symbol map instead of a .dbg file.
+
+        Accepts labels with or without the player's `op_` prefix, so both
+        a parsed .dbg map and an `asm65.Assembly.symbols` dict (e.g. of a
+        relocated player build) work directly.
+        """
+        addrs = {}
+        for name, val in symbols.items():
+            if name.startswith("op_"):
+                addrs[name[3:]] = val
+            elif name in ("header", "terminate", "nop", "ack") or \
+                    name.startswith("tick_"):
+                addrs.setdefault(name, val)
+        self = cls.__new__(cls)
+        self._load(addrs)
+        return self
+
+    def _load(self, addrs: Dict[str, int]) -> None:
         self.header = addrs["header"]
         self.terminate = addrs["terminate"]
         self.nop = addrs["nop"]

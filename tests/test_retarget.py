@@ -1,0 +1,186 @@
+"""Player-version coupling: fingerprint, identify, retarget, server translate.
+
+Covers the reference's "Looser coupling between player and transcoder
+version" future improvement (reference README.md:227-233).  The execution
+proof assembles a RELOCATED player build from the vendored source (CODE
+segment moved one page up), retargets a stream onto it, and plays it on the
+cycle-accurate 6502 machine: screen and audio must match the vendored build
+playing the original stream.
+"""
+
+import os
+import socket
+import socketserver
+import threading
+
+import numpy as np
+import pytest
+
+from iivision_tpu import server as server_mod
+from iivision_tpu.sim import PlayerVM, asm65, machine65
+from iivision_tpu.stream import retarget as rt
+from iivision_tpu.stream.opcodes import OpcodeAddresses, default_addresses
+from iivision_tpu.video_mode import VideoMode
+
+from test_machine65 import synth_stream
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "iivision_tpu")
+
+
+def shifted_addresses(delta=0x10):
+    """The vendored address map uniformly shifted (a synthetic new build)."""
+    d = default_addresses()
+    syms = {"op_header": d.header + delta, "op_ack": d.ack + delta,
+            "op_terminate": d.terminate + delta, "op_nop": d.nop + delta}
+    syms.update({"op_tick_%d_page_%d" % k: v + delta
+                 for k, v in d.tick.items()})
+    return OpcodeAddresses.from_symbols(syms)
+
+
+def write_dbg(addrs, path):
+    """Write a minimal cc65-style .dbg for an address map."""
+    with open(path, "w") as f:
+        names = [("op_header", addrs.header), ("op_ack", addrs.ack),
+                 ("op_terminate", addrs.terminate), ("op_nop", addrs.nop)]
+        names += [("op_tick_%d_page_%d" % k, v)
+                  for k, v in sorted(addrs.tick.items())]
+        for i, (name, val) in enumerate(names):
+            f.write('sym\tid=%d,name="%s",addrsize=absolute,scope=0,'
+                    'def=1,val=0x%X,type=lab\n' % (i, name, val))
+
+
+def test_fingerprint_identity_and_sensitivity():
+    assert rt.fingerprint() == rt.fingerprint(default_addresses())
+    assert len(rt.fingerprint()) == 64
+    assert rt.fingerprint(shifted_addresses()) != rt.fingerprint()
+    # one changed tick address changes the fingerprint
+    one = shifted_addresses(0)
+    one.tick[(34, 40)] += 1
+    assert rt.fingerprint(one) != rt.fingerprint()
+
+
+def test_identity_retarget_is_byte_noop():
+    data, _ = synth_stream(n_ops=400)
+    assert rt.retarget(data) == data
+
+
+@pytest.mark.parametrize("mode", [VideoMode.HGR, VideoMode.DHGR])
+def test_retarget_roundtrip_and_vm_equivalence(mode):
+    data, _ = synth_stream(n_ops=700, mode=mode, seed=3)
+    old, new = default_addresses(), shifted_addresses()
+    moved = rt.retarget(data, old, new)
+    assert len(moved) == len(data) and moved != data
+    # round trip is exact
+    assert rt.retarget(moved, new, old) == data
+
+    base = PlayerVM(old).decode(data)
+    got = PlayerVM(new).decode(moved)
+    assert base.ok and got.ok
+    assert np.array_equal(base.main, got.main)
+    assert np.array_equal(base.aux, got.aux)
+    assert np.array_equal(base.duty, got.duty)
+    # the retargeted stream is NOT valid for the old build...
+    assert not PlayerVM(old).decode(moved).ok
+    # ...and identify() pins which build each stream belongs to
+    cands = [("old", old), ("new", new)]
+    assert rt.identify(data, cands) == "old"
+    assert rt.identify(moved, cands) == "new"
+
+
+def test_walk_rejects_corruption():
+    data, _ = synth_stream(n_ops=300)
+    with pytest.raises(rt.StreamFormatError):
+        list(rt.walk(data[:-1]))  # length no longer a 2KB multiple
+    bad = bytearray(data)
+    bad[7] ^= 0x80  # first opcode address trashed
+    with pytest.raises(rt.StreamFormatError) as ei:
+        list(rt.walk(bytes(bad)))
+    assert ei.value.pos == 7
+    with pytest.raises(rt.StreamFormatError):
+        rt.identify(bytes(bad), [("old", default_addresses())])
+
+
+def test_relocated_player_executes_retargeted_stream():
+    """A real alternative player build (CODE moved up one page), assembled
+    from the vendored source by asm65, plays a retargeted stream with
+    screen+audio identical to the vendored build playing the original."""
+    with open(os.path.join(PKG, "data", "player", "main.s")) as f:
+        src = f.read()
+    asm = asm65.Assembler(segments={"LOWCODE": 0x0800, "HGR": 0x2000,
+                                    "CODE": 0x4100}).assemble(src)
+    new = OpcodeAddresses.from_symbols(asm.symbols)
+    old = default_addresses()
+    assert new.tick[(34, 40)] == old.tick[(34, 40)] + 0x100
+
+    data, duties = synth_stream(n_ops=650, mode=VideoMode.DHGR, seed=7)
+    moved = rt.retarget(data, old, new)
+
+    base = machine65.play_stream(data)
+    var = machine65.Apple2Player(assembly=asm).run(moved)
+    assert var.exit_reason == "TERMINATED"
+    assert np.array_equal(var.main, base.main)
+    assert np.array_equal(var.aux, base.aux)
+    assert np.array_equal(var.duty_cycles, base.duty_cycles)
+    # +0x100 preserves page offsets, so execution is cycle-exact too
+    assert var.cycles == base.cycles
+
+
+def test_server_translates_on_the_fly(tmp_path):
+    data, _ = synth_stream(n_ops=500, seed=11)
+    path = str(tmp_path / "movie.a2m")
+    with open(path, "wb") as f:
+        f.write(data)
+    new = shifted_addresses()
+    new_dbg = str(tmp_path / "new_player.dbg")
+    write_dbg(new, new_dbg)
+    vendored_dbg = os.path.join(PKG, "data", "iivision.dbg")
+
+    retargeter = server_mod.build_retargeter(new_dbg, [vendored_dbg])
+    srv = socketserver.TCPServer(
+        ("127.0.0.1", 0),
+        server_mod.build_handler(path, retargeter=retargeter))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            chunks = []
+            while True:
+                buf = s.recv(65536)
+                if not buf:
+                    break
+                chunks.append(buf)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+    got = b"".join(chunks)
+    assert got == rt.retarget(data, default_addresses(), new)
+    assert PlayerVM(new).decode(got).ok
+    # a stream already valid for the serving player passes through verbatim
+    assert retargeter(got) == got
+
+
+def test_cli_fingerprint_and_retarget(tmp_path, capsys):
+    assert rt.main(["--fingerprint"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out == rt.fingerprint()
+
+    data, _ = synth_stream(n_ops=350, seed=5)
+    src = str(tmp_path / "in.a2m")
+    dst = str(tmp_path / "out.a2m")
+    with open(src, "wb") as f:
+        f.write(data)
+    new = shifted_addresses()
+    new_dbg = str(tmp_path / "new.dbg")
+    write_dbg(new, new_dbg)
+    assert rt.main([src, "-o", dst, "--to-dbg", new_dbg]) == 0
+    moved = open(dst, "rb").read()
+    assert moved == rt.retarget(data, default_addresses(), new)
+    # and back, auto-identifying the source build among two candidates
+    back = str(tmp_path / "back.a2m")
+    vendored_dbg = os.path.join(PKG, "data", "iivision.dbg")
+    assert rt.main([dst, "-o", back, "--from-dbg", new_dbg,
+                    "--from-dbg", vendored_dbg]) == 0
+    assert open(back, "rb").read() == data
