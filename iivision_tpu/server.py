@@ -14,13 +14,13 @@ import argparse
 import socketserver
 
 
-def build_handler(filename: str, chunk: int = 64 * 1024, retargeter=None):
+def build_handler(filename: str, chunk: int = 64 * 1024, transform=None):
     class ChunkHandler(socketserver.BaseRequestHandler):
         def handle(self):
             print("Connection from %s" % (self.client_address,))
-            if retargeter is not None:
+            if transform is not None:
                 self.request.sendall(
-                    retargeter(open(filename, "rb").read()))
+                    transform(open(filename, "rb").read()))
             else:
                 with open(filename, "rb") as f:
                     while True:
@@ -62,11 +62,32 @@ def build_retargeter(player_dbg, known_dbgs):
     return translate
 
 
+def build_seeker(seconds: float, player_dbg=None):
+    """A bytes->bytes transform starting playback at a timestamp (the
+    reference's "Playback controls" future improvement, README.md:240-242;
+    stream/seek.py synthesizes the preamble frame)."""
+    from iivision_tpu.stream import seek as sk
+    from iivision_tpu.stream.opcodes import OpcodeAddresses, \
+        default_addresses
+
+    addrs = (OpcodeAddresses(player_dbg) if player_dbg
+             else default_addresses())
+
+    def do_seek(data: bytes) -> bytes:
+        point = sk.frame_at(sk.seek_index(data, addrs), seconds)
+        print("seeking to frame %d (t=%.3fs, bank=%s)"
+              % (point.frame, point.seconds,
+                 "AUX" if point.aux_bank else "MAIN"))
+        return sk.seek(data, point.frame, addrs)
+
+    return do_seek
+
+
 def serve(filename: str, host: str = "0.0.0.0", port: int = 1977,
-          retargeter=None):
+          transform=None):
     with socketserver.TCPServer(
             (host, port),
-            build_handler(filename, retargeter=retargeter)) as server:
+            build_handler(filename, transform=transform)) as server:
         server.allow_reuse_address = True
         print("Serving %s on %s:%d" % (filename, host, port))
         server.serve_forever()
@@ -87,10 +108,25 @@ def main(args=None):
                         help="Candidate source player .dbg a stream may "
                         "have been compiled against (repeatable). Enables "
                         "on-the-fly retargeting.")
+    parser.add_argument("--seek", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Start every connection's playback at this "
+                        "timestamp (expect transient tearing until the "
+                        "picture is fully repainted).")
     a = parser.parse_args(args)
-    retargeter = (build_retargeter(a.player_dbg, a.known_dbg)
-                  if (a.player_dbg or a.known_dbg) else None)
-    serve(a.input, a.host, a.port, retargeter=retargeter)
+    stages = []
+    if a.player_dbg or a.known_dbg:
+        stages.append(build_retargeter(a.player_dbg, a.known_dbg))
+    if a.seek is not None:
+        # after retargeting, so the seek walks the serving player's map
+        stages.append(build_seeker(a.seek, a.player_dbg))
+    transform = None
+    if stages:
+        def transform(data):
+            for stage in stages:
+                data = stage(data)
+            return data
+    serve(a.input, a.host, a.port, transform=transform)
 
 
 if __name__ == "__main__":

@@ -139,7 +139,7 @@ def test_server_translates_on_the_fly(tmp_path):
     retargeter = server_mod.build_retargeter(new_dbg, [vendored_dbg])
     srv = socketserver.TCPServer(
         ("127.0.0.1", 0),
-        server_mod.build_handler(path, retargeter=retargeter))
+        server_mod.build_handler(path, transform=retargeter))
     port = srv.server_address[1]
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -1,0 +1,148 @@
+"""Stream seeking (the reference's "Playback controls" future improvement,
+reference README.md:240-242).
+
+A seek stream = header + one synthesized silent preamble frame (whose ACK
+selects the seek frame's bank) + the original tail verbatim.  The player
+accepts it unmodified; the expected transient is "video tearing": bytes
+never re-stored after the seek point keep their power-on value, everything
+stored after it must match full playback exactly (last store wins)."""
+
+import os
+import socket
+import socketserver
+import threading
+
+import numpy as np
+import pytest
+
+from iivision_tpu import server as server_mod
+from iivision_tpu.sim import PlayerVM, machine65
+from iivision_tpu.stream import seek as sk
+from iivision_tpu.stream.retarget import walk
+from iivision_tpu.video_mode import VideoMode
+
+from test_machine65 import synth_stream
+
+
+def tail_store_model(data: bytes, from_byte: int):
+    """Replay the tick stores of data[from_byte:] (bank-aware): returns
+    (model, mask) of shape (2, 32, 256) - what full playback's final
+    memory must hold wherever the tail stored."""
+    model = np.zeros((2, 32, 256), np.uint8)
+    mask = np.zeros((2, 32, 256), bool)
+    bank = 0
+    for pos, kind, key in walk(data):
+        if kind == "ack":
+            bank = int(key)
+        elif kind == "tick" and pos >= from_byte:
+            duty, page = key
+            content = data[pos + 2]
+            for off in data[pos + 3:pos + 7]:
+                model[bank, page - 32, off] = content
+                mask[bank, page - 32, off] = True
+    return model, mask
+
+
+@pytest.mark.parametrize("mode", [VideoMode.HGR, VideoMode.DHGR])
+def test_seek_index_structure(mode):
+    data, _ = synth_stream(n_ops=900, mode=mode, seed=2)
+    idx = sk.seek_index(data)
+    assert len(idx) == len(data) // 2048
+    for k, p in enumerate(idx):
+        assert p.frame == k and p.byte_offset == k * 2048
+        if mode == VideoMode.DHGR:
+            assert p.aux_bank == (k % 2 == 1)  # framing flip-flop
+        else:
+            assert not p.aux_bank
+    secs = [p.seconds for p in idx]
+    assert secs == sorted(secs) and secs[0] == 0.0
+    # frame 1 starts after 291 ticks + 1 ack exactly
+    assert idx[1].seconds == (291 * 73 + 146) / (1024 * 1024)
+    # frame_at picks the latest point at or before t
+    assert sk.frame_at(idx, 0.0).frame == 0
+    assert sk.frame_at(idx, idx[2].seconds).frame == 2
+    assert sk.frame_at(idx, 1e9).frame == len(idx) - 1
+
+
+@pytest.mark.parametrize("mode", [VideoMode.HGR, VideoMode.DHGR])
+def test_seek_stream_plays_and_matches_tail(mode):
+    data, _ = synth_stream(n_ops=1200, mode=mode, seed=4)
+    idx = sk.seek_index(data)
+    k = 2
+    out = sk.seek(data, k)
+    assert len(out) == 2048 + len(data) - k * 2048
+    assert out[2048:] == data[k * 2048:]
+    assert sk.seek(data, 0) == data
+
+    full = PlayerVM().decode(data)
+    part = PlayerVM().decode(out)
+    assert full.ok and part.ok
+    # audio: preamble is 291 PCM-zero ticks, then the original tail's duty
+    n_tail_ops = len(part.duty) - 291
+    assert np.all(part.duty[:291] == 34)
+    assert np.array_equal(part.duty[291:], full.duty[-n_tail_ops:])
+    # video: every byte stored after the seek point ends identical to full
+    # playback (anything else is the documented transient tearing)
+    model, mask = tail_store_model(data, k * 2048)
+    seek_mem = np.stack([part.main, part.aux])
+    full_mem = np.stack([full.main, full.aux])
+    assert np.array_equal(seek_mem[mask], model[mask])
+    assert np.array_equal(seek_mem[mask], full_mem[mask])
+    # and the real 6502 accepts the seek stream end to end
+    res = machine65.play_stream(out)
+    assert res.exit_reason == "TERMINATED"
+    assert np.array_equal(res.main, part.main)
+    assert np.array_equal(res.aux, part.aux)
+
+
+def test_seek_rejects_out_of_range():
+    data, _ = synth_stream(n_ops=600, seed=6)
+    n = len(data) // 2048
+    with pytest.raises(ValueError):
+        sk.seek(data, n)
+    with pytest.raises(ValueError):
+        sk.seek(data, -1)
+
+
+def test_seek_cli(tmp_path, capsys):
+    data, _ = synth_stream(n_ops=800, seed=8)
+    src = str(tmp_path / "in.a2m")
+    with open(src, "wb") as f:
+        f.write(data)
+    assert sk.main([src, "--index"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == len(data) // 2048
+
+    dst = str(tmp_path / "out.a2m")
+    idx = sk.seek_index(data)
+    assert sk.main([src, "-o", dst, "--at", str(idx[1].seconds)]) == 0
+    assert open(dst, "rb").read() == sk.seek(data, 1)
+
+
+def test_server_seek_transform(tmp_path):
+    data, _ = synth_stream(n_ops=1000, seed=9)
+    path = str(tmp_path / "movie.a2m")
+    with open(path, "wb") as f:
+        f.write(data)
+    idx = sk.seek_index(data)
+    seeker = server_mod.build_seeker(idx[2].seconds)
+    srv = socketserver.TCPServer(
+        ("127.0.0.1", 0), server_mod.build_handler(path, transform=seeker))
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            chunks = []
+            while True:
+                buf = s.recv(65536)
+                if not buf:
+                    break
+                chunks.append(buf)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=5)
+    got = b"".join(chunks)
+    assert got == sk.seek(data, 2)
+    assert PlayerVM().decode(got).ok
