@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "fidelity for encode speed).")
     parser.add_argument("--seed", type=int, default=0,
                         help="Tie-break RNG seed (reproducible streams).")
+    parser.add_argument("--joint_content", action="store_true",
+                        help="Joint content optimization (the reference's "
+                             "'Global optimization' future improvement): "
+                             "pick each op's content byte to maximize the "
+                             "total improvement over its 4 offsets, "
+                             "searching ALL content codes. Slower encode, "
+                             "higher fidelity.")
     parser.add_argument("--colour_model", type=str, default="window",
                         choices=["window", "yiq", "mono"],
                         help="Perceptual basis: 'window' = the reference's "
@@ -170,6 +177,7 @@ def transcode_batch(args):
             every_n_video_frames=args.every_n_video_frames,
             k=args.k, j=args.j,
             seeds=[args.seed + i for i in idxs],
+            joint=args.joint_content,
             mesh=_group_mesh(args.mesh, len(movies)))
         for flat, i in zip(flats, idxs):
             path, fr, aud, out = ingested[i]
@@ -225,6 +233,7 @@ def main(args=None):
         frame_rate=args.frame_rate,
         chunk_frames=args.chunk_frames,
         colour_model=args.colour_model,
+        joint_content=args.joint_content,
     )
     print("Palette %s" % args.palette)
     print("Input frame rate = %f" % m.frames.input_frame_rate)

@@ -268,8 +268,22 @@ def prepare_targets(frames_main: np.ndarray,
 # --- the scan -------------------------------------------------------------------
 
 def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
-                       j: int = 1, chunk_steps: int = 1, diag: str = ""):
+                       j: int = 1, chunk_steps: int = 1, diag: str = "",
+                       joint: bool = False):
     """Construct the whole-movie encode function for (mode, K, J).
+
+    joint=True selects each op's CONTENT byte jointly over all C content
+    codes (the reference's "Global optimization" future improvement,
+    reference README.md:212-215: "the best value to store to minimize the
+    total error of 4 offsets may not even be any one of those target
+    content bytes").  The priority-driven primary offset and all state
+    update rules are unchanged - only the content rule differs: instead of
+    the target byte at the primary offset, pick argmax over c of
+    [improvement at the primary offset + the 3 best positive companion
+    improvements] from the page's full (C, 256) cost-slab block.  The
+    default rule's choice is in the candidate set, so each op's modelled
+    gain can only match or exceed greedy's.  Costs ~C more slab reads per
+    sub-op - opt-in (--joint_content), quality-measured in BENCH_NOTES.
 
     diag: comma-separated perf-diagnostic knobs.  Ablations whose outputs
     are WRONG: "nodp" zeroes the chunk-start diff DP, "noslab" skips the
@@ -463,6 +477,7 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
         iota_k32 = jax.lax.broadcasted_iota(jnp.int32, (k, 32), 1)
         iota_256 = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
         iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
 
         def chunk_body(state, xs):
             # each (Sc,)
@@ -565,8 +580,37 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 offset0 = jnp.argmax(off_score, axis=1)  # (K,)
                 off0_oh = (offset0[:, None] == iota_256).astype(
                     jnp.float32)
-                content = jnp.sum(tb_p * off0_oh, axis=1).astype(
-                    jnp.int32)
+                if joint:
+                    # joint content: score ALL C content codes of each
+                    # selected page by (gain at the fixed primary offset)
+                    # + (3 best positive companion gains), pick the best.
+                    # The slab block per page is contiguous rows
+                    # [base+p*C, base+(p+1)*C); all values are integers
+                    # < 2^18, exact in f32, so host/device stay bit-equal.
+                    rows_all = ((slab_base + pages * C)[:, None]
+                                + iota_c[None, :])  # (K, C)
+                    blocks = jnp.take(
+                        sc_all, rows_all.reshape(-1),
+                        axis=0).astype(jnp.float32).reshape(k, C, 256)
+                    score_all = dw_p[:, None, :] - blocks
+                    prim = jnp.sum(score_all * off0_oh[:, None, :],
+                                   axis=2)  # (K, C)
+                    eligj = ((up_p > 0.0)
+                             & (iota_256 != offset0[:, None]))[:, None, :]
+                    slj = jnp.where(eligj & (score_all > 0.0),
+                                    score_all, 0.0)
+                    comp = jnp.zeros((k, C), jnp.float32)
+                    for _ in range(3):
+                        o = jnp.argmax(slj, axis=2)  # (K, C)
+                        ohj = o[..., None] == iota_256[0][None, None, :]
+                        comp = comp + jnp.sum(
+                            jnp.where(ohj, slj, 0.0), axis=2)
+                        slj = jnp.where(ohj, 0.0, slj)
+                    content = jnp.argmax(prim + comp, axis=1).astype(
+                        jnp.int32)
+                else:
+                    content = jnp.sum(tb_p * off0_oh, axis=1).astype(
+                        jnp.int32)
 
                 # companions: rank ALL offsets against the LIVE diff.
                 # sc rows for each slot's (page, content):
@@ -616,8 +660,23 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
                 # are no-ops): primary clears up+dw, companions take
                 # residuals, stored cells take the content byte
                 umask = (off0_oh + acc_rows) * realf  # 0/1, disjoint
-                up_p = up_p * (1.0 - umask) + resid_rows * realf
-                dw_p = dw_p * (1.0 - off0_oh * realf)
+                if joint:
+                    # joint may store a non-target byte at the primary
+                    # offset: credit its residual error back into the
+                    # priority/diff state (exactly the companion rule)
+                    # instead of declaring the offset done - without
+                    # this, imperfect primaries are never repaired until
+                    # the next frame and final error regresses (measured:
+                    # BENCH_NOTES round-5 joint-content section)
+                    prim_resid = jnp.sum(sc_row * off0_oh, axis=1)
+                    resid_rows = (resid_rows
+                                  + off0_oh * prim_resid[:, None])
+                    up_p = up_p * (1.0 - umask) + resid_rows * realf
+                    dw_p = (dw_p * (1.0 - off0_oh * realf)
+                            + off0_oh * prim_resid[:, None] * realf)
+                else:
+                    up_p = up_p * (1.0 - umask) + resid_rows * realf
+                    dw_p = dw_p * (1.0 - off0_oh * realf)
                 by_p = by_p * (1.0 - umask) \
                     + umask * content[:, None].astype(jnp.float32)
 
@@ -790,12 +849,12 @@ def _build_encode_scan(mode: VideoMode, k: int, deterministic: bool = False,
 
 @functools.lru_cache(None)
 def _jitted_encode(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
-                   chunk_steps: int = 1):
+                   chunk_steps: int = 1, joint: bool = False):
     from iivision_tpu.aot import aot_jit
     return aot_jit(_build_encode_scan(mode, k, deterministic, j,
-                                      chunk_steps),
+                                      chunk_steps, joint=joint),
                    ("encode", mode.name, k, deterministic, j, chunk_steps,
-                    _SCAN_UNROLL))
+                    _SCAN_UNROLL, joint))
 
 
 FETCH_SPLITS = 4  # concurrent tunnel streams for the solo ops fetch
@@ -803,23 +862,25 @@ FETCH_SPLITS = 4  # concurrent tunnel streams for the solo ops fetch
 
 @functools.lru_cache(None)
 def _jitted_frames_encode(mode: VideoMode, k: int, deterministic: bool,
-                          j: int = 1, chunk_steps: int = 1):
+                          j: int = 1, chunk_steps: int = 1,
+                          joint: bool = False):
     from iivision_tpu.aot import aot_jit
     return aot_jit(
         _build_encode_scan(mode, k, deterministic, j,
-                           chunk_steps).full_frames,
+                           chunk_steps, joint=joint).full_frames,
         ("encode_frames", mode.name, k, deterministic, j,
-         chunk_steps, _SCAN_UNROLL))
+         chunk_steps, _SCAN_UNROLL, joint))
 
 
 @functools.lru_cache(None)
 def _jitted_chunk(mode: VideoMode, k: int, deterministic: bool, j: int = 1,
-                  chunk_steps: int = 1):
+                  chunk_steps: int = 1, joint: bool = False):
     from iivision_tpu.aot import aot_jit
     return aot_jit(
-        _build_encode_scan(mode, k, deterministic, j, chunk_steps).chunk,
+        _build_encode_scan(mode, k, deterministic, j, chunk_steps,
+                           joint=joint).chunk,
         ("encode_chunk", mode.name, k, deterministic, j, chunk_steps,
-         _SCAN_UNROLL))
+         _SCAN_UNROLL, joint))
 
 
 def _bucket_steps(n: int, chunk_steps: int) -> int:
@@ -856,7 +917,8 @@ def pad_plan_steps(plan: MoviePlan):
 
 
 def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
-                 mode: VideoMode, seed: Optional[int] = 0):
+                 mode: VideoMode, seed: Optional[int] = 0,
+                 joint: bool = False):
     """Encode a planned movie on the accelerator.
 
     dist: a distance.ComputedDistance for (mode, palette).
@@ -867,7 +929,7 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
     import jax.numpy as jnp
 
     fn = _jitted_encode(mode, plan.k, seed is None, plan.j,
-                        plan.chunk_steps)
+                        plan.chunk_steps, joint)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     (sf, sb, sr, sn), S_real = pad_plan_steps(plan)
     ops, main, aux = fn(
@@ -882,7 +944,8 @@ def encode_movie(dist, lanes_tgt, bytes_tgt, plan: MoviePlan,
 
 def encode_movie_from_frames(dist, frames_main_dev, frames_aux_dev,
                              plan: MoviePlan, mode: VideoMode,
-                             seed: Optional[int] = 0):
+                             seed: Optional[int] = 0,
+                             joint: bool = False):
     """Solo fast path: encode from DEVICE-RESIDENT raw uint8 targets.
 
     Fuses lane preparation into the encode program (one dispatch instead
@@ -896,7 +959,7 @@ def encode_movie_from_frames(dist, frames_main_dev, frames_aux_dev,
     import jax.numpy as jnp
 
     fn = _jitted_frames_encode(mode, plan.k, seed is None, plan.j,
-                               plan.chunk_steps)
+                               plan.chunk_steps, joint)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     (sf, sb, sr, sn), S_real = pad_plan_steps(plan)
     out = fn(
@@ -918,7 +981,7 @@ def ops_from_parts(parts, plan: MoviePlan) -> np.ndarray:
 
 def encode_movie_chunked(dist, frames_main, frames_aux, plan: MoviePlan,
                          mode: VideoMode, seed: Optional[int] = 0,
-                         chunk_frames: int = 512):
+                         chunk_frames: int = 512, joint: bool = False):
     """Encode an arbitrarily long planned movie in bounded device memory.
 
     Splits the plan at encoded-frame boundaries into segments of at most
@@ -954,7 +1017,7 @@ aux).
     F_pad = min(chunk_frames, f_max + 1)
 
     fn = _jitted_chunk(mode, plan.k, seed is None, plan.j,
-                       plan.chunk_steps)
+                       plan.chunk_steps, joint)
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -1001,7 +1064,7 @@ aux).
 
 def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
                            seed: Optional[int] = 0,
-                           chunk_frames: int = 64):
+                           chunk_frames: int = 64, joint: bool = False):
     """Encode while targets stream in: device scans overlap host ingestion.
 
     batches: iterator of (main (B,32,256) uint8, aux|None) target batches
@@ -1036,7 +1099,7 @@ def encode_movie_streaming(dist, batches, plan: MoviePlan, mode: VideoMode,
     assert S_pad % plan.chunk_steps == 0, (S_pad, plan.chunk_steps)
 
     fn = _jitted_chunk(mode, plan.k, seed is None, plan.j,
-                       plan.chunk_steps)
+                       plan.chunk_steps, joint)
     import jax
     key = jax.random.PRNGKey(0 if seed is None else seed)
     store_cost = jnp.asarray(dist.store_cost)

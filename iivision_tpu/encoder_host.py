@@ -22,8 +22,10 @@ class HostEncoder:
     """Scalar mirror of the TPU encode scan."""
 
     def __init__(self, mode: VideoMode, dist, k: int = 8,
-                 seed: Optional[int] = None, j: int = 1):
+                 seed: Optional[int] = None, j: int = 1,
+                 joint: bool = False):
         self.mode = mode
+        self.joint = joint
         self.spec = screen.spec_for_mode(mode)
         self.store_cost = np.asarray(dist.store_cost)
         self.sub = np.asarray(dist.sub, dtype=np.float64)
@@ -98,7 +100,27 @@ class HostEncoder:
             off_score = up[pg].astype(np.float32) * 256.0 \
                 + nonce_o[jj, slot] * 255.0
             off0 = int(np.argmax(off_score))
-            content = int(tgt_bytes[pg, off0])
+            if self.joint:
+                # joint content (mirrors the scan's joint branch exactly):
+                # argmax over all C content codes of [gain at the fixed
+                # primary offset + 3 best positive companion gains].  All
+                # terms are integers < 2^18, exact in f32, so the two
+                # implementations stay bit-equal.
+                block = self.sc[pg].astype(np.float32)  # (256, C)
+                score_all = dw[pg].astype(np.float32)[:, None] - block
+                prim = score_all[off0].copy()  # (C,)
+                eligj = (up[pg] > 0) & (np.arange(256) != off0)
+                slj = np.where(eligj[:, None] & (score_all > 0.0),
+                               score_all, 0.0).astype(np.float32)
+                comp = np.zeros(self.C, np.float32)
+                for _ in range(3):
+                    o = np.argmax(slj, axis=0)  # (C,)
+                    vals = slj[o, np.arange(self.C)]
+                    comp += vals
+                    slj[o, np.arange(self.C)] = 0.0
+                content = int(np.argmax(prim + comp))
+            else:
+                content = int(tgt_bytes[pg, off0])
 
             # companions: rank all offsets of the page against the LIVE
             # diff (mirrors the scan's slab contraction + 3 argmaxes)
@@ -122,16 +144,26 @@ class HostEncoder:
             while len(offs) < 4:
                 offs.append(off0)
             bank_bytes[pg, off0] = content
-            up[pg, off0] = 0
-            dw[pg, off0] = 0
+            if self.joint:
+                # mirror the scan's joint rule: the primary keeps its
+                # residual error (companion semantics) instead of being
+                # declared done - joint may have stored a non-target byte
+                r = int(sc_row[off0])
+                up[pg, off0] = r
+                dw[pg, off0] = r
+            else:
+                up[pg, off0] = 0
+                dw[pg, off0] = 0
             ops.append((pg + 32, content, offs[0], offs[1], offs[2], offs[3]))
         return ops
 
 
 def encode_movie_host(dist, lanes_tgt, bytes_tgt, plan, mode: VideoMode,
-                      seed: Optional[int] = None) -> np.ndarray:
+                      seed: Optional[int] = None,
+                      joint: bool = False) -> np.ndarray:
     """Run the full planned movie on host; returns (n_ops, 6) int32."""
-    enc = HostEncoder(mode, dist, k=plan.k, seed=seed, j=plan.j)
+    enc = HostEncoder(mode, dist, k=plan.k, seed=seed, j=plan.j,
+                      joint=joint)
     lanes_tgt = np.asarray(lanes_tgt)
     bytes_tgt = np.asarray(bytes_tgt)
     out = []

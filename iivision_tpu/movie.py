@@ -62,6 +62,7 @@ class Movie:
             chunk_frames: Optional[int] = None,
             colour_model: str = "window",
             stream_chunk_frames: int = 64,
+            joint_content: bool = False,
     ):
         self.filename = filename
         self.every_n_video_frames = every_n_video_frames
@@ -72,6 +73,9 @@ class Movie:
         self.k = k
         self.j = j
         self.seed = seed
+        # joint content selection (reference README.md:212-215 "Global
+        # optimization"): opt-in, slower, scores >= greedy per op
+        self.joint_content = joint_content
         # segment very long movies so device-resident targets stay bounded
         # in HBM; None = auto (chunk past 1024 encoded frames)
         self.chunk_frames = chunk_frames
@@ -178,7 +182,8 @@ class Movie:
                     encoder.encode_movie_streaming(
                         self.dist, gen, plan, self.video_mode,
                         seed=self.seed,
-                        chunk_frames=self.stream_chunk_frames)
+                        chunk_frames=self.stream_chunk_frames,
+                        joint=self.joint_content)
                 self.frames = frames.MovieFrames(
                     targets_main=tm, targets_aux=ta,
                     n_frames_total=self._n_frames_total,
@@ -269,7 +274,8 @@ class Movie:
         if chunk:
             ops_dev, fin_main, fin_aux = encoder.encode_movie_chunked(
                 self.dist, tgt_main, tgt_aux, plan, self.video_mode,
-                seed=self.seed, chunk_frames=chunk)
+                seed=self.seed, chunk_frames=chunk,
+                joint=self.joint_content)
         else:
             if dev_targets is not None:
                 # targets already device-resident (uploaded part-by-part
@@ -282,7 +288,8 @@ class Movie:
 
                 parts, fin_main, fin_aux = encoder.encode_movie_from_frames(
                     self.dist, dev_targets[0], dev_targets[1],
-                    plan, self.video_mode, seed=self.seed)
+                    plan, self.video_mode, seed=self.seed,
+                    joint=self.joint_content)
                 fetched = list(io_pool().map(np.asarray, parts))
                 flat = encoder.flatten_ops(
                     encoder.ops_from_parts(fetched, plan), plan)
@@ -294,7 +301,7 @@ class Movie:
                 tgt_main, tgt_aux, self.video_mode)
             ops_dev, fin_main, fin_aux = encoder.encode_movie(
                 self.dist, lanes_tgt, bytes_tgt, plan, self.video_mode,
-                seed=self.seed)
+                seed=self.seed, joint=self.joint_content)
         flat = encoder.flatten_ops(np.asarray(ops_dev), plan)
         self.timings["encode_s"] = time.time() - t0
         self._set_final(fin_main, fin_aux)

@@ -111,11 +111,12 @@ def ingest_movies_batch(rgb_b, mode: VideoMode, palette, mesh=None):
 
 @functools.lru_cache(None)
 def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool,
-                         j: int = 1, chunk_steps: int = 1):
+                         j: int = 1, chunk_steps: int = 1,
+                         joint: bool = False):
     import jax
 
     scan = encoder._build_encode_scan(mode, k, deterministic, j,
-                                      chunk_steps)
+                                      chunk_steps, joint=joint)
     batched = jax.vmap(
         scan, in_axes=(None, None, 0, 0, None, None, None, None, 0))
 
@@ -129,12 +130,12 @@ def _jitted_batch_encode(mode: VideoMode, k: int, deterministic: bool,
     from iivision_tpu.aot import aot_jit
     return aot_jit(batched_flat,
                    ("batch_encode", mode.name, k, deterministic, j,
-                    chunk_steps))
+                    chunk_steps, joint))
 
 
 def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
                         plan: encoder.MoviePlan, mode: VideoMode,
-                        seeds, mesh=None):
+                        seeds, mesh=None, joint: bool = False):
     """Encode a batch of equal-schedule movies, sharded over the mesh.
 
     lanes_tgt_b: (B, F, 32, 128, L); bytes_tgt_b: (B, F, 2, 32, 256);
@@ -148,7 +149,7 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
     import jax.numpy as jnp
 
     fn = _jitted_batch_encode(mode, plan.k, False, plan.j,
-                              plan.chunk_steps)
+                              plan.chunk_steps, joint)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
     store_cost = jnp.asarray(dist.store_cost)
     sub = jnp.asarray(dist.sub)
@@ -172,7 +173,8 @@ def encode_movies_batch(dist, lanes_tgt_b, bytes_tgt_b,
 def encode_movies_mixed(dist, movies, mode: VideoMode,
                         input_frame_rate: float, ticks_per_second: float,
                         every_n_video_frames: int = 1, k: int = 8,
-                        j: int = 1, seeds=None, mesh=None):
+                        j: int = 1, seeds=None, mesh=None,
+                        joint: bool = False):
     """Encode a batch of DIFFERENT-length movies in one vmapped scan.
 
     movies: list of (targets_main (F_i,32,256) u8, targets_aux or None,
@@ -229,7 +231,8 @@ def encode_movies_mixed(dist, movies, mode: VideoMode,
     if seeds is None:
         seeds = np.arange(B)
     ops_b, _, _ = encode_movies_batch(
-        dist, lanes_b, bytes_b, plan_max, mode, seeds=seeds, mesh=mesh)
+        dist, lanes_b, bytes_b, plan_max, mode, seeds=seeds, mesh=mesh,
+        joint=joint)
     ops_np = fetch_ops(ops_b, plan_max)
     flats = [encoder.flatten_ops(ops_np[i], plan_max)[:n_ops[i]]
              for i in range(B)]

@@ -311,3 +311,44 @@ def test_streaming_encode_bit_identical_and_buffering():
     with pytest.raises(ValueError, match="short"):
         encoder.encode_movie_streaming(dist, short(), plan, mode,
                                        seed=5, chunk_frames=4)
+
+
+# --- joint content optimization ---------------------------------------------------
+
+@pytest.mark.parametrize("mode,k,j", [
+    (VideoMode.DHGR, 8, 1),
+    (VideoMode.DHGR, 4, 2),
+    (VideoMode.HGR, 4, 1),
+])
+def test_joint_content_host_vs_scan_differential(mode, k, j):
+    """--joint_content (the reference's 'Global optimization' future
+    improvement): device scan and host oracle must stay bit-equal, and each
+    op's modelled gain must be >= the default content rule's (the default
+    choice is in the joint candidate set)."""
+    dist = get_dist(mode)
+    fmain, faux = random_frames(mode, n_frames=2, seed=5)
+    plan, n_enc = encoder.plan_movie(
+        n_frames=2, n_audio_ticks=700, input_frame_rate=2100.0 / 700 * 2,
+        ticks_per_second=2100.0 * 2 / 700 * 350,
+        every_n_video_frames=1, mode=mode, k=k, j=j)
+    assert n_enc == 2
+
+    lanes_tgt, bytes_tgt = encoder.prepare_targets(fmain, faux, mode)
+    ops_dev, fin_main, fin_aux = encoder.encode_movie(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None, joint=True)
+    tpu_ops = encoder.flatten_ops(np.asarray(ops_dev), plan)
+
+    host_ops = encoder_host.encode_movie_host(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None, joint=True)
+
+    mismatch = np.nonzero((tpu_ops != host_ops).any(axis=1))[0]
+    assert mismatch.size == 0, (
+        "first mismatch at op %d: tpu=%s host=%s" % (
+            mismatch[0] if mismatch.size else -1,
+            tpu_ops[mismatch[:3]], host_ops[mismatch[:3]]))
+
+    # joint must actually diverge from the default rule somewhere (it is
+    # allowed to emit non-target content bytes)
+    dflt = encoder_host.encode_movie_host(
+        dist, lanes_tgt, bytes_tgt, plan, mode, seed=None, joint=False)
+    assert (tpu_ops != dflt).any()

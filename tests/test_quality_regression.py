@@ -69,3 +69,30 @@ def test_replay_error_pinned(baseline, movie_inputs, k, j):
         "in the commit" % (rep.mean_error, row["mean_error"]))
     assert rep.final_error <= row["final_error"] * 1.02 + 0.05, (
         rep.final_error, row["final_error"])
+
+
+@pytest.mark.parametrize("k,j", [(16, 4), (32, 10)])
+def test_replay_error_pinned_joint(baseline, movie_inputs, k, j):
+    """--joint_content quality gate: the joint-content mode (reference
+    'Global optimization' future improvement) must hold its committed
+    baseline AND stay strictly better than the default rule's baseline on
+    the pinned clip (measured win: ~7.5-7.9% lower replay mean error)."""
+    rgb, tone, dist = movie_inputs
+    aud = audio_mod.Audio(data=tone, rate=14700, bitrate=14700)
+    m = Movie(frames_source=rgb, audio_source=aud, every_n_video_frames=2,
+              video_mode=VideoMode.DHGR, palette=Palette.NTSC, k=k, j=j,
+              seed=0, dist=dist, joint_content=True)
+    flat, _ = m.encode_ops()
+    lanes_tgt, _ = encoder.prepare_targets(
+        m.frames.targets_main, m.frames.targets_aux, VideoMode.DHGR)
+    rep = quality.replay_frame_errors(flat, m.plan, lanes_tgt,
+                                      VideoMode.DHGR, m.dist)
+    row = baseline["dhgr_ntsc_k%d_j%d_seed0_joint" % (k, j)]
+    assert rep.mean_error <= row["mean_error"] * 1.01, (
+        rep.mean_error, row["mean_error"])
+    assert rep.final_error <= row["final_error"] * 1.02 + 0.05, (
+        rep.final_error, row["final_error"])
+    dflt = baseline["dhgr_ntsc_k%d_j%d_seed0" % (k, j)]
+    assert rep.mean_error < dflt["mean_error"], (
+        "joint content no longer beats the default rule",
+        rep.mean_error, dflt["mean_error"])
